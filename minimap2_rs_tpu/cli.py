@@ -1,0 +1,209 @@
+"""Command-line interface mirroring the reference's subcommands and flags
+(/root/reference/src/main.rs:18-90): index / anchors / chain / align.
+
+Extensions over the reference:
+- `align` maps ALL query records (the reference maps only the first,
+  main.rs:92-103,193); `--first-only` restores reference behavior.
+- `--engine {auto,device,host}` selects the TPU pipeline or the
+  reference-faithful host oracle (default auto: device when JAX has a
+  non-CPU backend and the batch is worth it, else host).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .config import ChainParams, IndexParams, MapParams, apply_preset
+from .io.fasta import read_fasta, read_fasta_first
+from .oracle.index import OracleIndex, build_index
+from .oracle.lchain import chain_dp
+from .oracle.pipeline import map_reads
+from .oracle.seeds import build_anchors, collect_query_minimizers, filter_query_minimizers
+
+
+def load_index_auto(path: str, w: int, k: int, b: int, flag: int) -> OracleIndex:
+    """Dispatch .mmi / native / FASTA (main.rs:135-145)."""
+    if path.endswith(".mmi"):
+        return OracleIndex.load_from_mmi(path)
+    try:
+        return OracleIndex.load_from_file(path)
+    except Exception:
+        records = read_fasta(path)
+        return build_index([(n, s) for n, s in records], IndexParams(w=w, k=k, bucket_bits=b, flag=flag))
+
+
+def _add_wk(p, k_default=15, w_default=10):
+    p.add_argument("-w", type=int, default=w_default)
+    p.add_argument("-k", type=int, default=k_default)
+    p.add_argument("-H", "--hpc", action="store_true")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="mm2t", description="TPU-native minimap2-class long-read mapper")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("index", help="build a reference index")
+    p.add_argument("fasta")
+    _add_wk(p)
+    p.add_argument("-b", "--bucket-bits", type=int, default=14)
+    p.add_argument("-d", "--dump", default=None)
+
+    p = sub.add_parser("anchors", help="debug: print anchor stats")
+    p.add_argument("ref_fasta")
+    p.add_argument("qry_fasta")
+    _add_wk(p)
+
+    p = sub.add_parser("chain", help="debug: best chain endpoints")
+    p.add_argument("ref_fasta")
+    p.add_argument("qry_fasta")
+    _add_wk(p)
+    p.add_argument("-r", dest="bw", type=int, default=5000)
+
+    p = sub.add_parser("align", help="map reads, PAF output")
+    p.add_argument("ref_fasta")
+    p.add_argument("qry_fasta")
+    _add_wk(p)
+    p.add_argument("-f", dest="frac_top_repetitive", type=float, default=2e-4)
+    p.add_argument("-g", dest="max_gap", type=int, default=5000)
+    p.add_argument("-r", dest="r", default=None, help="NUM[,NUM] bandwidth (bw[,bw_long])")
+    p.add_argument("-n", dest="min_cnt", type=int, default=3)
+    p.add_argument("-m", dest="min_chain_score", type=int, default=40)
+    p.add_argument("-M", "--mask-level", type=float, default=0.5)
+    p.add_argument("-p", "--pri-ratio", type=float, default=0.8)
+    p.add_argument("-N", "--best-n", type=int, default=5)
+    p.add_argument("-x", dest="preset", default=None)
+    p.add_argument("-a", dest="out_sam", action="store_true", help="(ignored; PAF only)")
+    p.add_argument("-o", dest="output", default=None)
+    p.add_argument("--first-only", action="store_true", help="map only the first query record (reference behavior)")
+    p.add_argument("--engine", choices=["auto", "device", "host"], default="auto")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command == "index":
+        flag = 1 if args.hpc else 0
+        records = read_fasta(args.fasta)
+        idx = build_index(records, IndexParams(w=args.w, k=args.k, bucket_bits=args.bucket_bits, flag=flag))
+        n_keys, avg_occ, avg_spacing, total_len = idx.stats()
+        print(f"kmer size: {args.k}; skip: {args.w}; is_hpc: {1 if args.hpc else 0}; #seq: {idx.n_seq}")
+        print(
+            f"distinct minimizers: {n_keys} (avg occ {avg_occ:.2f}) "
+            f"avg spacing {avg_spacing:.3f} total length {total_len}"
+        )
+        if args.dump:
+            if args.dump.endswith(".mmi"):
+                idx.save_to_mmi(args.dump)
+            else:
+                idx.save_to_file(args.dump)
+        return 0
+
+    if args.command == "anchors":
+        flag = 1 if args.hpc else 0
+        idx = load_index_auto(args.ref_fasta, args.w, args.k, 14, flag)
+        _qname, q = read_fasta_first(args.qry_fasta)
+        mv = collect_query_minimizers(q, idx.w, idx.k)
+        mv = filter_query_minimizers(mv, 10, 0.01)
+        mid_occ = max(idx.calc_mid_occ(2e-4), 10)
+        anchors = build_anchors(idx, mv, len(q), mid_occ)
+        print(f"anchors: {anchors.shape[0]}")
+        for x, y in anchors[:10]:
+            print(f"x=0x{int(x):016x} y=0x{int(y):016x}")
+        return 0
+
+    if args.command == "chain":
+        flag = 1 if args.hpc else 0
+        idx = load_index_auto(args.ref_fasta, args.w, args.k, 14, flag)
+        _qname, q = read_fasta_first(args.qry_fasta)
+        mv = collect_query_minimizers(q, idx.w, idx.k)
+        mv = filter_query_minimizers(mv, 10, 0.01)
+        mid_occ = max(idx.calc_mid_occ(2e-4), 10)
+        anchors = build_anchors(idx, mv, len(q), mid_occ)
+        cp = ChainParams.defaults_for_k(idx.k, bw=args.bw)
+        chain = chain_dp(anchors, cp)
+        print(f"best_chain_len: {len(chain)}")
+        if chain:
+            st, en = chain[0], chain[-1]
+            print(f"start: x=0x{int(anchors[st,0]):016x} y=0x{int(anchors[st,1]):016x}")
+            print(f"end:   x=0x{int(anchors[en,0]):016x} y=0x{int(anchors[en,1]):016x}")
+        return 0
+
+    if args.command == "align":
+        w, k = args.w, args.k
+        if args.preset:
+            w, k = apply_preset(args.preset, w, k)
+        flag = 1 if args.hpc else 0
+        idx = load_index_auto(args.ref_fasta, w, k, 14, flag)
+        if args.first_only:
+            reads = [read_fasta_first(args.qry_fasta)]
+        else:
+            reads = read_fasta(args.qry_fasta)
+        cp = ChainParams.defaults_for_k(
+            idx.k,
+            max_dist_x=args.max_gap,
+            max_dist_y=args.max_gap,
+            min_cnt=args.min_cnt,
+            min_chain_score=args.min_chain_score,
+        )
+        if args.r:
+            parts = args.r.split(",")
+            overrides = {}
+            try:
+                overrides["bw"] = int(parts[0])
+            except (ValueError, IndexError):
+                pass
+            if len(parts) > 1:
+                try:
+                    overrides["bw_long"] = int(parts[1])
+                except ValueError:
+                    pass
+            if overrides:
+                import dataclasses
+
+                cp = dataclasses.replace(cp, **overrides)
+        mp = MapParams(
+            frac_top_repetitive=args.frac_top_repetitive,
+            mask_level=args.mask_level,
+            pri_ratio=args.pri_ratio,
+            best_n=args.best_n,
+        )
+        engine = args.engine
+        if engine == "auto":
+            engine = _auto_engine()
+        if engine == "device":
+            from .models.mapper import Mapper
+
+            mapper = Mapper.from_oracle_index(idx, cp, mp)
+            lines = mapper.map_reads(reads)
+        else:
+            lines = map_reads(idx, reads, cp, mp)
+        if args.output and args.output != "-":
+            with open(args.output, "w") as f:
+                for line in lines:
+                    f.write(line + "\n")
+        else:
+            for line in lines:
+                print(line)
+        return 0
+
+    return 1
+
+
+def _auto_engine() -> str:
+    try:
+        import jax
+        from .models import mapper as _mapper  # noqa: F401
+
+        if jax.devices()[0].platform != "cpu":
+            return "device"
+    except Exception:
+        pass
+    return "host"
+
+
+if __name__ == "__main__":
+    sys.exit(main())

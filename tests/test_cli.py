@@ -1,0 +1,69 @@
+"""CLI tests mirroring the reference's subcommands (main.rs:18-90)."""
+
+import numpy as np
+import pytest
+
+from minimap2_rs_tpu.cli import main
+from minimap2_rs_tpu.io.fasta import read_fasta, write_fasta
+from minimap2_rs_tpu.utils.seqsim import random_genome, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    genome = random_genome(80_000, seed=9)
+    ref = str(d / "ref.fa")
+    write_fasta(ref, [("chrT", genome)])
+    reads = simulate_reads(genome, 5, read_len=(400, 800), seed=10)
+    qry = str(d / "reads.fa")
+    write_fasta(qry, [(n, s) for n, s, *_ in reads])
+    return d, ref, qry, genome, reads
+
+
+def test_fasta_roundtrip(fixtures):
+    d, ref, qry, genome, _ = fixtures
+    recs = read_fasta(ref)
+    assert recs == [("chrT", genome)]
+
+
+def test_cli_index_and_align_mmi(fixtures, capsys):
+    d, ref, qry, genome, reads = fixtures
+    mmi = str(d / "ref.mmi")
+    assert main(["index", ref, "-d", mmi]) == 0
+    out = capsys.readouterr().out
+    assert "distinct minimizers:" in out and "kmer size: 15" in out
+    assert main(["align", mmi, qry, "--engine", "host"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) >= len(reads) - 1
+    truth = {n: (st, en, s) for n, _q, st, en, s in reads}
+    for line in out:
+        f = line.split("\t")
+        assert f[5] == "chrT"
+        st, en, strand = truth[f[0]]
+        assert f[4] == strand
+        assert abs(int(f[7]) - st) < 150
+
+
+def test_cli_align_from_fasta_first_only(fixtures, capsys):
+    d, ref, qry, genome, reads = fixtures
+    assert main(["align", ref, qry, "--first-only", "--engine", "host"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and out[0].split("\t")[0] == "read0"
+
+
+def test_cli_anchors_and_chain(fixtures, capsys):
+    d, ref, qry, genome, reads = fixtures
+    assert main(["anchors", ref, qry]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("anchors: ")
+    assert main(["chain", ref, qry]) == 0
+    out = capsys.readouterr().out
+    assert "best_chain_len:" in out
+
+
+def test_cli_output_file(fixtures, tmp_path):
+    d, ref, qry, genome, reads = fixtures
+    outp = str(tmp_path / "out.paf")
+    assert main(["align", ref, qry, "-o", outp, "--engine", "host"]) == 0
+    lines = open(outp).read().strip().splitlines()
+    assert lines and all(len(l.split("\t")) == 18 for l in lines)
