@@ -1,0 +1,247 @@
+"""The flagship end-to-end mapping model.
+
+Device (one fused jit per length bucket):
+    nt4 codes -> sketch_positions -> compact -> key-sort -> occ filter ->
+    index lookup -> anchor expansion -> anchor sort -> chaining DP
+Host:
+    backtracking, chain selection/merge/rescue decision, PAF + dv
+    (pointer-chasing over a few hundred elements per read; SURVEY.md
+    section 7 hard part 5).
+
+Reads are bucketed by length into static shapes; reads whose minimizer or
+anchor population overflows the bucket's padded capacity fall back to the
+reference-faithful host pipeline, so output is always complete.
+
+The rescue pass (lchain.rs:321-330) re-runs only the chaining DP with the
+wide band for the subset of reads whose best chain covers too little of
+the query — a second traced call with different ChainScalars, no
+recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ChainParams, MapParams
+from ..oracle.index import OracleIndex
+from ..oracle import lchain as olchain
+from ..oracle import pipeline as opipeline
+from ..oracle.paf import write_paf, paf_from_chain, write_paf_many_with_scores
+from ..ops import u64
+from ..ops.chain_ops import ChainScalars, chain_dp_batch, chain_scalars_from_params
+from ..ops.index_ops import DeviceIndex
+from ..ops.seeds_ops import build_anchors_device, query_occ_filter, sort_minimizers_by_key
+from ..ops.sketch import compact_minimizers, sketch_positions
+from ..utils.packing import nt4_encode
+
+I32 = jnp.int32
+
+
+def _combine64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A", "window"),
+)
+def _fused_map_stage(
+    dev_idx: DeviceIndex,
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    scalars: ChainScalars,
+    mid_occ: jnp.ndarray,
+    *,
+    w: int,
+    k: int,
+    hpc: bool,
+    q_occ_max: int,
+    q_occ_frac: float,
+    M: int,
+    A: int,
+    window: int,
+):
+    """The whole per-batch device pipeline as one XLA program."""
+    ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
+    cks, cps, n_mini, mini_ovf = compact_minimizers(ks, ps, emitted, M)
+    sks, sps = sort_minimizers_by_key(cks, cps)
+    keep = query_occ_filter(sks, n_mini, q_occ_max, q_occ_frac)
+    x_hi, x_lo, y_hi, y_lo, n_anchors, anc_ovf = build_anchors_device(
+        dev_idx, sks, sps, keep, lengths, mid_occ, A
+    )
+    f, v, prev = chain_dp_batch(
+        x_hi, x_lo.astype(I32), y_lo.astype(I32),
+        (y_hi & jnp.uint32(0xFF)).astype(I32), scalars, window,
+    )
+    return dict(
+        cks=cks, cps=cps, n_mini=n_mini, mini_ovf=mini_ovf,
+        x_hi=x_hi, x_lo=x_lo, y_hi=y_hi, y_lo=y_lo,
+        n_anchors=n_anchors, anc_ovf=anc_ovf, f=f, v=v, prev=prev,
+    )
+
+
+@dataclasses.dataclass
+class Mapper:
+    idx: OracleIndex
+    dev_idx: DeviceIndex
+    cp: ChainParams
+    mp: MapParams
+    mid_occ: int
+    # length buckets: reads are padded to the smallest bucket >= their length
+    buckets: tuple[int, ...] = (1024, 2048, 4096, 8192, 16384, 32768, 65536)
+    batch_size: int = 64
+    mini_frac: float = 0.5   # minimizer slots per base of bucket
+    anchor_frac: float = 0.75  # anchor slots per base of bucket
+
+    @staticmethod
+    def from_oracle_index(idx: OracleIndex, cp: ChainParams, mp: MapParams = MapParams(), **kw) -> "Mapper":
+        dev = DeviceIndex.from_host(idx.keys, idx.starts, idx.counts, idx.positions)
+        mid_occ = max(idx.calc_mid_occ(mp.frac_top_repetitive), mp.mid_occ_floor)
+        return Mapper(idx=idx, dev_idx=dev, cp=cp, mp=mp, mid_occ=mid_occ, **kw)
+
+    # ------------------------------------------------------------------
+
+    def _device_stage(self, codes, lengths, M, A, scalars: ChainScalars, window: int):
+        """The fused device pipeline for one padded batch."""
+        return _fused_map_stage(
+            self.dev_idx, codes, lengths, scalars, jnp.int32(self.mid_occ),
+            w=self.idx.w, k=self.idx.k, hpc=bool(self.idx.flag & 1),
+            q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
+            M=M, A=A, window=window,
+        )
+
+    def _rescue_stage(self, x_hi, x_lo, y_hi, y_lo, window: int):
+        p2 = dataclasses.replace(self.cp, bw=self.cp.bw_long)
+        scal2 = chain_scalars_from_params(p2)
+        return chain_dp_batch(
+            x_hi, x_lo.astype(I32), y_lo.astype(I32), (y_hi & jnp.uint32(0xFF)).astype(I32),
+            scal2, window,
+        )
+
+    # ------------------------------------------------------------------
+
+    def map_reads(self, reads: list[tuple[str, bytes]]) -> list[str]:
+        """Map reads; returns PAF lines in input order."""
+        results: dict[int, list[str]] = {}
+        order = sorted(range(len(reads)), key=lambda i: len(reads[i][1]))
+        scalars = chain_scalars_from_params(self.cp)
+
+        # group by bucket
+        groups: dict[int, list[int]] = {}
+        for i in order:
+            L = len(reads[i][1])
+            if L == 0:
+                results[i] = []
+                continue
+            bucket = next((b for b in self.buckets if L <= b), None)
+            if bucket is None:
+                # longer than the largest bucket: host path
+                results[i] = self._host_fallback(reads[i])
+                continue
+            groups.setdefault(bucket, []).append(i)
+
+        for bucket, idxs in groups.items():
+            M = max(128, int(bucket * self.mini_frac))
+            A = max(128, int(bucket * self.anchor_frac))
+            window = min(self.cp.max_chain_iter, A)
+            for c0 in range(0, len(idxs), self.batch_size):
+                chunk = idxs[c0 : c0 + self.batch_size]
+                B = len(chunk)
+                codes = np.full((B, bucket), 4, dtype=np.int32)
+                lengths = np.zeros(B, dtype=np.int32)
+                for bi, ri in enumerate(chunk):
+                    s = reads[ri][1]
+                    codes[bi, : len(s)] = nt4_encode(s)
+                    lengths[bi] = len(s)
+                out = self._device_stage(
+                    jnp.asarray(codes), jnp.asarray(lengths), M, A, scalars, window
+                )
+                out = jax.tree_util.tree_map(np.asarray, out)
+                self._postprocess(reads, chunk, out, results, window)
+
+        return [line for i in range(len(reads)) for line in results.get(i, [])]
+
+    # ------------------------------------------------------------------
+
+    def _postprocess(self, reads, chunk, out, results, window):
+        """Host: backtrack, select, rescue, PAF."""
+        rescue_rows = []
+        per_row: dict[int, tuple] = {}
+        for bi, ri in enumerate(chunk):
+            qname, qseq = reads[ri]
+            if out["mini_ovf"][bi] or out["anc_ovf"][bi]:
+                results[ri] = self._host_fallback(reads[ri])
+                continue
+            n = int(out["n_anchors"][bi])
+            anchors = np.stack(
+                [
+                    _combine64(out["x_hi"][bi, :n], out["x_lo"][bi, :n]),
+                    _combine64(out["y_hi"][bi, :n], out["y_lo"][bi, :n]),
+                ],
+                axis=1,
+            )
+            f = out["f"][bi, :n].astype(np.int64)
+            v = out["v"][bi, :n].astype(np.int64)
+            prev = out["prev"][bi, :n].astype(np.int64)
+            chains, scores = olchain.backtrack(anchors, f, v, prev, self.cp)
+            mv = self._mv_list(out, bi)
+            if not chains:
+                results[ri] = []
+                continue
+            per_row[bi] = (anchors, chains, scores, mv)
+            # rescue decision (lchain.rs:321-326)
+            best_cov = olchain.chain_query_coverage(anchors, chains[0])
+            uncovered = max(len(qseq) - best_cov, 0)
+            if uncovered > self.cp.rmq_rescue_size or np.float32(best_cov) < np.float32(
+                len(qseq)
+            ) * (np.float32(1.0) - np.float32(self.cp.rmq_rescue_ratio)):
+                rescue_rows.append(bi)
+
+        if rescue_rows:
+            f2, v2, prev2 = self._rescue_stage(
+                jnp.asarray(out["x_hi"]), jnp.asarray(out["x_lo"]),
+                jnp.asarray(out["y_hi"]), jnp.asarray(out["y_lo"]), window,
+            )
+            f2, v2, prev2 = np.asarray(f2), np.asarray(v2), np.asarray(prev2)
+            p2 = dataclasses.replace(self.cp, bw=self.cp.bw_long)
+            for bi in rescue_rows:
+                anchors, _, _, mv = per_row[bi]
+                n = anchors.shape[0]
+                chains, scores = olchain.backtrack(
+                    anchors, f2[bi, :n].astype(np.int64), v2[bi, :n].astype(np.int64),
+                    prev2[bi, :n].astype(np.int64), p2,
+                )
+                per_row[bi] = (anchors, chains, scores, mv)
+
+        for bi, ri in enumerate(chunk):
+            if bi not in per_row:
+                continue
+            qname, qseq = reads[ri]
+            anchors, chains, scores, mv = per_row[bi]
+            chains_merged = olchain.merge_adjacent_chains_with_gap(
+                anchors, chains, self.cp.max_dist_y, self.cp.max_dist_y
+            )
+            sel, _sc, _pri, s1, s2 = olchain.select_and_filter_chains(
+                anchors, chains_merged, scores[: len(chains_merged)],
+                self.mp.mask_level, self.mp.pri_ratio, self.mp.best_n,
+            )
+            results[ri] = write_paf_many_with_scores(
+                self.idx, anchors, sel, s1, s2, qname, qseq, mv=mv
+            )
+
+    def _mv_list(self, out, bi) -> list[tuple[int, int]]:
+        """Device minimizers (position-sorted) as (key_span, rps) pairs for
+        the dv estimate."""
+        n = int(out["n_mini"][bi])
+        ks = _combine64(out["cks"].hi[bi, :n], out["cks"].lo[bi, :n])
+        ps = out["cps"][bi, :n].astype(np.uint64)
+        return [(int(k), int(p)) for k, p in zip(ks, ps)]
+
+    def _host_fallback(self, read) -> list[str]:
+        qname, qseq = read
+        return opipeline.align_read(self.idx, qname, qseq, self.cp, self.mp, mid_occ=self.mid_occ)

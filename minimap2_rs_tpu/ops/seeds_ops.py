@@ -1,0 +1,158 @@
+"""Device seeding: query-occurrence filter, index lookup, masked anchor
+expansion, and the global per-read anchor sort.
+
+Replaces the reference's per-minimizer loop + Vec push + sort
+(/root/reference/src/seeds.rs:13-60) with fixed-shape batched ops:
+ragged occurrence lists become a prefix-sum + binary-search expansion
+into a padded (B, A_max) anchor tensor, sorted per read with a single
+4-key lexicographic lax.sort.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import u64
+from .index_ops import DeviceIndex, index_lookup, lower_bound_u64pair
+from .u64 import U64Pair
+
+I32 = jnp.int32
+U32 = jnp.uint32
+INVALID_XHI = U32(0xFFFFFFFF)
+
+
+def _upper_bound_rows(sorted_rows: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Per-row upper_bound: first index m with sorted_rows[b, m] > q[b, a].
+    sorted_rows (B, M) nondecreasing; q broadcastable to (B, A)."""
+    import numpy as _np
+
+    B, M = sorted_rows.shape
+    q = jnp.broadcast_to(q, (B,) + q.shape[-1:])
+    lo = jnp.zeros(q.shape, dtype=I32)
+    hi = jnp.full(q.shape, M, dtype=I32)
+    steps = max(1, int(_np.ceil(_np.log2(M + 1))) + 1)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        vmid = jnp.take_along_axis(sorted_rows, jnp.minimum(mid, M - 1), axis=1)
+        go_right = vmid <= q
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+def sort_minimizers_by_key(ks: U64Pair, ps: jnp.ndarray):
+    """Per-read sort of minimizer slots by key pair (padding U64-max goes
+    last)."""
+    kh, kl, ps2 = jax.lax.sort((ks.hi, ks.lo, ps), dimension=-1, num_keys=2)
+    return U64Pair(kh, kl), ps2
+
+
+def query_occ_filter(
+    ks: U64Pair,  # (B, M) key_span pairs, key-sorted per read
+    n_mini: jnp.ndarray,  # (B,)
+    q_occ_max: int,
+    q_occ_frac: float,
+):
+    """Mask of minimizers surviving the query-frequency filter
+    (seeds.rs:13-36): drop keys whose per-read count exceeds both
+    q_occ_max and floor(n * q_occ_frac); no-op when n <= q_occ_max.
+
+    ks must be key-sorted per read; counts come from two vmapped binary
+    searches of each row into itself."""
+    B, M = ks.hi.shape
+    keys = u64.shr(ks, 8)
+
+    def row_counts(kh, kl):
+        row = U64Pair(kh, kl)
+        lo = lower_bound_u64pair(row, row)
+        # upper bound: lower_bound of key+1
+        kp1 = u64.add(row, u64.const(1, row.hi.shape))
+        hi = lower_bound_u64pair(row, kp1)
+        return hi - lo
+
+    counts = jax.vmap(row_counts)(keys.hi, keys.lo)
+    cutoff = (n_mini.astype(jnp.float32) * q_occ_frac).astype(I32)
+    drop = (counts > q_occ_max) & (counts > cutoff[:, None])
+    drop = drop & (n_mini[:, None] > q_occ_max)
+    slot = jnp.arange(M, dtype=I32)[None, :]
+    valid = slot < n_mini[:, None]
+    return valid & ~drop
+
+
+@functools.partial(jax.jit, static_argnames=("max_anchors",))
+def build_anchors_device(
+    idx: DeviceIndex,
+    ks: U64Pair,          # (B, M) key_span pairs, key-sorted per read
+    ps: jnp.ndarray,      # (B, M) query pos<<1|strand
+    keep: jnp.ndarray,    # (B, M) bool survivor mask
+    qlen: jnp.ndarray,    # (B,) query lengths
+    mid_occ: jnp.ndarray, # scalar int32 repetitive cutoff
+    max_anchors: int,
+):
+    """Lookup + masked expansion + sort (seeds.rs:42-79).
+
+    Returns anchor tensors x_hi/x_lo/y_hi/y_lo (B, A) uint32 (padding
+    sorts to the end with x_hi = 0xFFFFFFFF), n_anchors (B,), overflow
+    (B,) bool."""
+    B, M = ks.hi.shape
+    keys = u64.shr(ks, 8)
+    start, count = index_lookup(idx, keys)
+    # skip over-frequent target keys; singletons always kept
+    # (seeds.rs:48-53: only Multi blocks are compared against mid_occ)
+    count = jnp.where((count > 1) & (count > mid_occ), 0, count)
+    count = jnp.where(keep, count, 0)
+
+    cum = jnp.cumsum(count, axis=1)
+    total = cum[:, -1]
+    n_anchors = jnp.minimum(total, max_anchors)
+
+    # anchor slot a -> minimizer m = first index with cum[m] > a
+    # (branch-free binary search; vmapped jnp.searchsorted compiles
+    # pathologically here)
+    a_idx = jnp.arange(max_anchors, dtype=I32)[None, :]
+    m_idx = _upper_bound_rows(cum, a_idx)  # (B, A)
+    m_safe = jnp.minimum(m_idx, M - 1)
+    prev_cum = jnp.where(
+        m_safe > 0,
+        jnp.take_along_axis(cum, jnp.maximum(m_safe - 1, 0), axis=1),
+        0,
+    )
+    occ_off = a_idx - prev_cum
+    valid = a_idx < n_anchors[:, None]
+
+    g_start = jnp.take_along_axis(start, m_safe, axis=1)
+    p_idx = jnp.where(valid, g_start + occ_off, 0)
+    r_hi = idx.pos_hi[p_idx]  # rid
+    r_lo = idx.pos_lo[p_idx]  # rpos<<1|rstrand
+
+    ps_m = jnp.take_along_axis(ps, m_safe, axis=1)
+    span = jnp.take_along_axis(ks.lo, m_safe, axis=1) & U32(0xFF)
+    qpos = ps_m >> U32(1)
+    qstrand = ps_m & U32(1)
+    rpos = r_lo >> U32(1)
+    rstrand = r_lo & U32(1)
+    forward = rstrand == qstrand
+
+    x_hi = jnp.where(forward, r_hi, r_hi | U32(0x80000000))
+    x_lo = rpos
+    qlen_u = qlen.astype(U32)[:, None]
+    y_lo_fwd = qpos
+    y_lo_rev = qlen_u - (qpos + U32(1) - span) - U32(1)
+    y_lo = jnp.where(forward, y_lo_fwd, y_lo_rev)
+    y_hi = span
+
+    x_hi = jnp.where(valid, x_hi, INVALID_XHI)
+    x_lo = jnp.where(valid, x_lo, U32(0xFFFFFFFF))
+    y_hi = jnp.where(valid, y_hi, U32(0xFFFFFFFF))
+    y_lo = jnp.where(valid, y_lo, U32(0xFFFFFFFF))
+
+    x_hi, x_lo, y_hi, y_lo = jax.lax.sort(
+        (x_hi, x_lo, y_hi, y_lo), dimension=-1, num_keys=4
+    )
+    return x_hi, x_lo, y_hi, y_lo, n_anchors, total > max_anchors

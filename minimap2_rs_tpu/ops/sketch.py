@@ -1,0 +1,250 @@
+"""Batched device sketch kernel (JAX, fully vectorized — no sequential
+scan over positions).
+
+This is the TPU formulation of the reference's per-base scan
+(/root/reference/src/sketch.rs:29-100), derived and fuzz-validated in
+oracle/sketch.py: per-position k-mer construction by log-step span
+doubling, hash64 on uint32 pairs, window-minimum marking over complete
+windows, plus the three exactness rules (completion-step tie handling,
+run-end drops, final emission). Everything is masked elementwise work on
+(B, L) arrays — XLA fuses it into a handful of VPU passes.
+
+Inputs are nt4 codes padded with 4 (ambiguous) to a static length; true
+lengths are passed separately so the final-emission rule fires at each
+read's real end rather than at the padding boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import u64
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+def _shift_right(a: jnp.ndarray, t: int, fill) -> jnp.ndarray:
+    """a shifted toward higher indices by t along the last axis."""
+    if t == 0:
+        return a
+    if t >= a.shape[-1]:
+        return jnp.full_like(a, fill)
+    pad = jnp.full(a.shape[:-1] + (t,), fill, dtype=a.dtype)
+    return jnp.concatenate([pad, a[..., :-t]], axis=-1)
+
+
+def _shift_right_u64(a: u64.U64Pair, t: int, fill: int) -> u64.U64Pair:
+    return u64.U64Pair(
+        _shift_right(a.hi, t, U32((fill >> 32) & 0xFFFFFFFF)),
+        _shift_right(a.lo, t, U32(fill & 0xFFFFFFFF)),
+    )
+
+
+def _shift_left(a: jnp.ndarray, t: int, fill) -> jnp.ndarray:
+    if t == 0:
+        return a
+    if t >= a.shape[-1]:
+        return jnp.full_like(a, fill)
+    pad = jnp.full(a.shape[:-1] + (t,), fill, dtype=a.dtype)
+    return jnp.concatenate([a[..., t:], pad], axis=-1)
+
+
+def kmer_keys(codes: jnp.ndarray, k: int):
+    """Per-position canonical k-mer as uint32 pairs + strand, via span
+    doubling:
+      fwd_{s+t}[i] = (fwd_s[i-t] << 2t) | (fwd_s[i] & (4^t-1))
+      rev_{s+t}[i] = ((rev_s[i] >> 2(s-t)) << 2s) | rev_s[i-t]
+    Returns (canon: U64Pair, strand: bool(B,L), sym: bool(B,L))."""
+    is_base = codes < 4
+    c = jnp.where(is_base, codes, 0).astype(U32)
+    fwd = u64.U64Pair(jnp.zeros_like(c), c)
+    rev = u64.U64Pair(jnp.zeros_like(c), U32(3) ^ c)
+    s = 1
+    while s < k:
+        t = min(s, k - s)
+        fwd_prev = _shift_right_u64(fwd, t, 0)
+        rev_prev = _shift_right_u64(rev, t, 0)
+        fwd = u64.or_(u64.shl(fwd_prev, 2 * t), u64.and_const(fwd, (1 << (2 * t)) - 1))
+        rev = u64.or_(u64.shl(u64.shr(rev, 2 * (s - t)), 2 * s), rev_prev)
+        s += t
+    mask = (1 << (2 * k)) - 1
+    fwd = u64.and_const(fwd, mask)
+    rev = u64.and_const(rev, mask)
+    sym = u64.eq(fwd, rev)
+    strand = u64.lt(rev, fwd)  # z = 1 when rev kmer is canonical
+    canon = u64.where(strand, rev, fwd)
+    return canon, strand, sym
+
+
+def window_fold_min(ks: u64.U64Pair, idx: jnp.ndarray, w: int):
+    """Windowed (min key, newest tied index) over windows of w ending at
+    each position, by log-step folding. Comparator: smaller key wins; on
+    ties the larger (newer) index wins — matching the scan's tracked-min
+    identity (sketch.rs:84-96)."""
+    wmin, widx = ks, idx
+    span = 1
+    while span < w:
+        step = min(span, w - span)
+        sh = _shift_right_u64(wmin, step, u64.UMAX)
+        sh_idx = _shift_right(widx, step, I32(-1))
+        better = u64.lt(sh, wmin)  # strictly smaller older-window key wins
+        # ties: wmin (the newer window) keeps priority — newest tie
+        wmin = u64.where(better, sh, wmin)
+        widx = jnp.where(better, sh_idx, widx)
+        span += step
+    return wmin, widx
+
+
+@functools.partial(jax.jit, static_argnames=("w", "k", "is_hpc"))
+def sketch_positions(
+    codes: jnp.ndarray,  # (B, L) int32 nt4 codes, padded with 4
+    lengths: jnp.ndarray,  # (B,) int32 true lengths
+    w: int,
+    k: int,
+    is_hpc: bool = False,
+):
+    """Per-position minimizer emission.
+
+    Returns (key_span: U64Pair (B,L), pos_strand: (B,L) uint32 packed
+    pos<<1|strand, emitted: bool (B,L)). rid is not encoded here — callers
+    add it (queries use rid=0; the index builder carries rids alongside).
+    """
+    B, L = codes.shape
+    codes = codes.astype(I32)
+    is_base = codes < 4
+    idx = jnp.broadcast_to(jnp.arange(L, dtype=I32), (B, L))
+    in_range = idx < lengths[:, None]
+    is_base = is_base & in_range
+
+    last_bad = jax.lax.cummax(jnp.where(~is_base, idx, I32(-1)), axis=1)
+    depth = idx - last_bad  # bases since reset (valid positions only)
+
+    canon, strand, sym = kmer_keys(jnp.where(is_base, codes, 4), k)
+    # l_eff: non-symmetric valid positions since reset
+    inc = (is_base & ~sym).astype(I32)
+    cs = jnp.cumsum(inc, axis=1)
+    cs_at_bad = jnp.where(
+        last_bad >= 0,
+        jnp.take_along_axis(cs, jnp.maximum(last_bad, 0), axis=1),
+        0,
+    )
+    l_eff = jnp.where(is_base, cs - cs_at_bad, 0)
+
+    if is_hpc:
+        # skip_len[i] = distance to the end of i's homopolymer run
+        nxt = _shift_left(codes, 1, I32(4))
+        boundary = (codes != nxt) | ~is_base
+        INF = I32(2**30)
+        bpos = jnp.where(boundary, idx, INF)
+        next_boundary = jnp.flip(jax.lax.cummin(jnp.flip(bpos, axis=1), axis=1), axis=1)
+        skip_len = jnp.where(is_base, next_boundary - idx + 1, 0)
+        css = jnp.cumsum(skip_len, axis=1)
+        lo = jnp.maximum(idx + 1 - k, last_bad + 1)
+        css_lo = jnp.where(lo > 0, jnp.take_along_axis(css, jnp.maximum(lo - 1, 0), axis=1), 0)
+        kspan = css - css_lo
+    else:
+        kspan = jnp.minimum(depth, k)
+
+    valid = is_base & ~sym & (l_eff >= k) & (kspan < 256)
+    key = u64.hash64(canon, (1 << (2 * k)) - 1)
+    ks = u64.or_(u64.shl(key, 8), u64.U64Pair(jnp.zeros_like(key.hi), kspan.astype(U32)))
+    ks = u64.where(valid, ks, u64.full_like(ks, u64.UMAX))
+    pos_strand = ((idx.astype(U32) << U32(1)) | strand.astype(U32))
+    pos_strand = jnp.where(valid, pos_strand, U32(0xFFFFFFFF))
+
+    # window min + newest tied index, width w and w-1
+    wmin, widx = window_fold_min(ks, idx, w)
+    if w > 1:
+        wmin1, widx1 = window_fold_min(ks, idx, w - 1)
+    else:
+        wmin1, widx1 = ks, idx  # unused when w == 1 (no prev-buffer)
+    valid_w = ~u64.eq(wmin, u64.full_like(wmin, u64.UMAX))
+
+    complete = l_eff >= (w + k - 1)
+    hit = complete & valid_w
+
+    # base rule: emitted[j] iff some complete window [e-w+1, e] covering j
+    # has wmin[e] == ks[j]
+    emitted = jnp.zeros((B, L), dtype=bool)
+    for d in range(w):
+        if d == 0:
+            emitted |= hit & u64.eq(ks, wmin)
+        elif d < L:
+            cond = hit[..., d:] & u64.eq(
+                u64.U64Pair(ks.hi[..., :-d], ks.lo[..., :-d]),
+                u64.U64Pair(wmin.hi[..., d:], wmin.lo[..., d:]),
+            )
+            emitted = emitted.at[..., : L - d].max(cond)
+
+    rows = jnp.broadcast_to(jnp.arange(B, dtype=I32)[:, None], (B, L))
+
+    if w > 1:
+        # completion-step rules (oracle/sketch.py): at e with
+        # l_eff == w+k-1, m1 = min over [e-w+1, e-1], M its newest tie:
+        # ties of m1 except M are emitted; emitted[M] = ks[e] > m1.
+        compl_e = l_eff == (w + k - 1)
+        m1 = _shift_right_u64(wmin1, 1, u64.UMAX)
+        M = _shift_right(widx1, 1, I32(-1))
+        m1_valid = compl_e & ~u64.eq(m1, u64.full_like(m1, u64.UMAX))
+        for d in range(1, w):
+            if d >= L:
+                break
+            cond = (
+                m1_valid[..., d:]
+                & u64.eq(
+                    u64.U64Pair(ks.hi[..., :-d], ks.lo[..., :-d]),
+                    u64.U64Pair(m1.hi[..., d:], m1.lo[..., d:]),
+                )
+                & ((idx[..., :-d]) != M[..., d:])
+            )
+            emitted = emitted.at[..., : L - d].max(cond)
+        m_val = u64.gt(ks, m1)  # value assigned to emitted[M]
+        tgt = jnp.where(m1_valid, M, 0)
+        set_mask = jnp.zeros((B, L), dtype=bool).at[rows, tgt].max(m1_valid)
+        set_val = jnp.zeros((B, L), dtype=bool).at[rows, tgt].max(m1_valid & m_val)
+        emitted = jnp.where(set_mask, set_val, emitted)
+
+    # run-end drops: newest tie of the window min at each N reset is lost
+    next_base = _shift_left(is_base, 1, False)
+    run_end = is_base & ~next_base & (idx != lengths[:, None] - 1)
+    drop_src = run_end & valid_w
+    tgt = jnp.where(drop_src, widx, 0)
+    drop_mask = jnp.zeros((B, L), dtype=bool).at[rows, tgt].max(drop_src)
+    emitted = emitted & ~drop_mask
+
+    # final emission at each read's true end (sketch.rs:99)
+    last = jnp.maximum(lengths - 1, 0)
+    rows1 = jnp.arange(B, dtype=I32)
+    fin_valid = jnp.take_along_axis(valid_w, last[:, None], axis=1)[:, 0] & (lengths > 0)
+    fin_idx = jnp.take_along_axis(widx, last[:, None], axis=1)[:, 0]
+    emitted = emitted.at[rows1, jnp.where(fin_valid, fin_idx, 0)].max(fin_valid)
+
+    return ks, pos_strand, emitted
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def compact_minimizers(
+    ks: u64.U64Pair,
+    pos_strand: jnp.ndarray,
+    emitted: jnp.ndarray,
+    max_out: int,
+):
+    """Pack emitted minimizers to the front, position-sorted, padded to
+    max_out slots. Returns (ks, pos_strand, n_valid, overflow)."""
+    B, L = emitted.shape
+    order = jnp.argsort(~emitted, axis=-1, stable=True)
+    take = order[..., :max_out]
+    out_ks = u64.U64Pair(
+        jnp.take_along_axis(ks.hi, take, axis=-1),
+        jnp.take_along_axis(ks.lo, take, axis=-1),
+    )
+    out_ps = jnp.take_along_axis(pos_strand, take, axis=-1)
+    n = jnp.sum(emitted, axis=-1).astype(I32)
+    valid = jnp.arange(max_out, dtype=I32)[None, :] < jnp.minimum(n, max_out)[:, None]
+    out_ks = u64.where(valid, out_ks, u64.full_like(out_ks, u64.UMAX))
+    out_ps = jnp.where(valid, out_ps, U32(0xFFFFFFFF))
+    return out_ks, out_ps, jnp.minimum(n, max_out), n > max_out

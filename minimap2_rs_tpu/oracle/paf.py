@@ -88,9 +88,12 @@ def paf_from_chain(
     qname: str,
     qseq: bytes,
     is_primary: bool = True,
+    mv: list[tuple[int, int]] | None = None,
 ) -> PafRecord | None:
     """Build a PAF record from a chain (paf_from_chain_with_primary,
-    paf.rs:130-222)."""
+    paf.rs:130-222). `mv` optionally supplies precomputed query
+    minimizers for the dv estimate (the reference re-sketches the query
+    on every record, paf.rs:156; the device pipeline passes its own)."""
     if not chain:
         return None
     strand = "-" if _rev(int(anchors[chain[0], 0])) else "+"
@@ -118,7 +121,8 @@ def paf_from_chain(
     qlen = len(qseq)
 
     # dv estimate (paf.rs:156-199)
-    mv = collect_query_minimizers(qseq, idx.w, idx.k)
+    if mv is None:
+        mv = collect_query_minimizers(qseq, idx.w, idx.k)
     mini_pos = [(r >> 1) & 0xFFFFFFFF for _, r in mv]
     sum_k = sum(ks & 0xFF for ks, _ in mv)
     avg_k = _F32(sum_k) / _F32(len(mv)) if mv else _F32(idx.k)
@@ -195,11 +199,12 @@ def write_paf_many_with_scores(
     top_s2: int,
     qname: str,
     qseq: bytes,
+    mv: list[tuple[int, int]] | None = None,
 ) -> list[str]:
     """Emit all chains, stamping the global s1/s2 (paf.rs:238-248)."""
     out = []
     for ci, chain in enumerate(chains):
-        rec = paf_from_chain(idx, anchors, chain, qname, qseq, is_primary=(ci == 0))
+        rec = paf_from_chain(idx, anchors, chain, qname, qseq, is_primary=(ci == 0), mv=mv)
         if rec is not None:
             rec.s1 = max(top_s1, 0)
             rec.s2 = max(top_s2, 0)

@@ -1,0 +1,60 @@
+"""End-to-end parity: the device Mapper's PAF output must be byte-identical
+to the reference-faithful host oracle (the round's central gate,
+SURVEY.md section 7 step 7)."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from minimap2_rs_tpu.config import ChainParams, IndexParams, MapParams
+from minimap2_rs_tpu.models.mapper import Mapper
+from minimap2_rs_tpu.oracle.index import build_index
+from minimap2_rs_tpu.oracle.pipeline import map_reads
+from minimap2_rs_tpu.utils.seqsim import random_genome, simulate_reads
+
+W, K = 5, 11
+
+
+@pytest.fixture(scope="module")
+def setup():
+    genome = random_genome(60_000, seed=1)
+    idx = build_index([("chrA", genome)], IndexParams(w=W, k=K))
+    cp = ChainParams.defaults_for_k(K)
+    mp = MapParams()
+    mapper = Mapper.from_oracle_index(
+        idx, cp, mp, buckets=(256, 512), batch_size=8, mini_frac=0.6, anchor_frac=1.0
+    )
+    return genome, idx, cp, mp, mapper
+
+
+def test_device_paf_identical_to_host(setup):
+    genome, idx, cp, mp, mapper = setup
+    reads = simulate_reads(genome, 10, read_len=(150, 450), seed=3)
+    rl = [(n, s) for n, s, *_ in reads]
+    host = map_reads(idx, rl, cp, mp)
+    dev = mapper.map_reads(rl)
+    assert dev == host
+
+
+def test_device_handles_junk_and_empty(setup):
+    genome, idx, cp, mp, mapper = setup
+    rng = np.random.default_rng(4)
+    junk = bytes(rng.choice(list(b"ACGT"), size=300).astype(np.uint8))
+    rl = [("junk", junk), ("empty", b""), ("tiny", b"ACGTACGTA"), ("frag", genome[1000:1400])]
+    dev = mapper.map_reads(rl)
+    host = map_reads(idx, rl, cp, mp)
+    assert dev == host
+    # the genuine fragment must map
+    assert any(l.split("\t")[0] == "frag" for l in dev)
+
+
+def test_device_rev_strand_parity(setup):
+    genome, idx, cp, mp, mapper = setup
+    from minimap2_rs_tpu.utils.seqsim import revcomp
+
+    rl = [("rc", revcomp(genome[2000:2400]))]
+    dev = mapper.map_reads(rl)
+    host = map_reads(idx, rl, cp, mp)
+    assert dev == host
+    assert dev and dev[0].split("\t")[4] == "-"
