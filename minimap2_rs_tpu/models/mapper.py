@@ -78,11 +78,45 @@ def _fused_map_stage(
         x_hi, x_lo.astype(I32), y_lo.astype(I32),
         (y_hi & jnp.uint32(0xFF)).astype(I32), scalars, window,
     )
-    return dict(
-        cks=cks, cps=cps, n_mini=n_mini, mini_ovf=mini_ovf,
-        x_hi=x_hi, x_lo=x_lo, y_hi=y_hi, y_lo=y_lo,
-        n_anchors=n_anchors, anc_ovf=anc_ovf, f=f, v=v, prev=prev,
+    # Pack every output into ONE uint32 buffer: each device->host transfer
+    # call pays tens of ms of fixed latency through the host<->TPU relay,
+    # so a single large transfer beats a dozen small ones by ~5x.
+    # The dv estimate only needs minimizer spans + positions, not keys.
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+    packed = jnp.concatenate(
+        [
+            x_hi, x_lo, y_hi, y_lo, bc(f), bc(v), bc(prev),
+            cks.lo & jnp.uint32(0xFF), cps,
+            bc(n_mini)[:, None], bc(n_anchors)[:, None],
+            mini_ovf.astype(jnp.uint32)[:, None],
+            anc_ovf.astype(jnp.uint32)[:, None],
+        ],
+        axis=1,
     )
+    return packed
+
+
+def _unpack_map_stage(packed: np.ndarray, M: int, A: int) -> dict:
+    """Host-side view-unpacking of the fused stage's single buffer."""
+    cols = [
+        ("x_hi", A, np.uint32), ("x_lo", A, np.uint32),
+        ("y_hi", A, np.uint32), ("y_lo", A, np.uint32),
+        ("f", A, np.int32), ("v", A, np.int32), ("prev", A, np.int32),
+        ("mini_span", M, np.uint32), ("cps", M, np.uint32),
+        ("n_mini", 1, np.int32), ("n_anchors", 1, np.int32),
+        ("mini_ovf", 1, np.uint32), ("anc_ovf", 1, np.uint32),
+    ]
+    out = {}
+    off = 0
+    for name, width, dtype in cols:
+        v = packed[:, off : off + width].view(dtype)
+        if width == 1:
+            v = v[:, 0]
+        out[name] = v
+        off += width
+    out["mini_ovf"] = out["mini_ovf"].astype(bool)
+    out["anc_ovf"] = out["anc_ovf"].astype(bool)
+    return out
 
 
 @dataclasses.dataclass
@@ -97,6 +131,10 @@ class Mapper:
     batch_size: int = 64
     mini_frac: float = 0.5   # minimizer slots per base of bucket
     anchor_frac: float = 0.75  # anchor slots per base of bucket
+    stats: dict = dataclasses.field(default_factory=dict)
+
+    def _t(self, key: str, dt: float):
+        self.stats[key] = self.stats.get(key, 0.0) + dt
 
     @staticmethod
     def from_oracle_index(idx: OracleIndex, cp: ChainParams, mp: MapParams = MapParams(), **kw) -> "Mapper":
@@ -151,18 +189,30 @@ class Mapper:
             window = min(self.cp.max_chain_iter, A)
             for c0 in range(0, len(idxs), self.batch_size):
                 chunk = idxs[c0 : c0 + self.batch_size]
-                B = len(chunk)
+                # pad the batch dimension to a fixed size so every call
+                # reuses one compiled program per bucket
+                B = self.batch_size
                 codes = np.full((B, bucket), 4, dtype=np.int32)
                 lengths = np.zeros(B, dtype=np.int32)
                 for bi, ri in enumerate(chunk):
                     s = reads[ri][1]
                     codes[bi, : len(s)] = nt4_encode(s)
                     lengths[bi] = len(s)
-                out = self._device_stage(
+                import time as _time
+
+                t0 = _time.time()
+                packed = self._device_stage(
                     jnp.asarray(codes), jnp.asarray(lengths), M, A, scalars, window
                 )
-                out = jax.tree_util.tree_map(np.asarray, out)
+                jax.block_until_ready(packed)
+                t1 = _time.time()
+                out = _unpack_map_stage(np.asarray(packed), M, A)
+                t2 = _time.time()
                 self._postprocess(reads, chunk, out, results, window)
+                t3 = _time.time()
+                self._t("device", t1 - t0)
+                self._t("d2h", t2 - t1)
+                self._t("post", t3 - t2)
 
         return [line for i in range(len(reads)) for line in results.get(i, [])]
 
@@ -188,7 +238,7 @@ class Mapper:
             f = out["f"][bi, :n].astype(np.int64)
             v = out["v"][bi, :n].astype(np.int64)
             prev = out["prev"][bi, :n].astype(np.int64)
-            chains, scores = olchain.backtrack(anchors, f, v, prev, self.cp)
+            chains, scores = self._backtrack(anchors, f, v, prev, self.cp)
             mv = self._mv_list(out, bi)
             if not chains:
                 results[ri] = []
@@ -212,7 +262,7 @@ class Mapper:
             for bi in rescue_rows:
                 anchors, _, _, mv = per_row[bi]
                 n = anchors.shape[0]
-                chains, scores = olchain.backtrack(
+                chains, scores = self._backtrack(
                     anchors, f2[bi, :n].astype(np.int64), v2[bi, :n].astype(np.int64),
                     prev2[bi, :n].astype(np.int64), p2,
                 )
@@ -236,11 +286,25 @@ class Mapper:
 
     def _mv_list(self, out, bi) -> list[tuple[int, int]]:
         """Device minimizers (position-sorted) as (key_span, rps) pairs for
-        the dv estimate."""
+        the dv estimate — which only reads the span (low 8 bits) and the
+        position (paf.rs:158-159), so the key field carries just the
+        span."""
         n = int(out["n_mini"][bi])
-        ks = _combine64(out["cks"].hi[bi, :n], out["cks"].lo[bi, :n])
-        ps = out["cps"][bi, :n].astype(np.uint64)
-        return [(int(k), int(p)) for k, p in zip(ks, ps)]
+        spans = out["mini_span"][bi, :n]
+        ps = out["cps"][bi, :n]
+        return [(int(kk), int(p)) for kk, p in zip(spans, ps)]
+
+    @staticmethod
+    def _backtrack(anchors, f, v, prev, cp):
+        import os
+
+        if not os.environ.get("MM2T_NO_NATIVE"):
+            from ..runtime.host import native_backtrack
+
+            out = native_backtrack(anchors, f, v, prev, cp)
+            if out is not None:
+                return out
+        return olchain.backtrack(anchors, f, v, prev, cp)
 
     def _host_fallback(self, read) -> list[str]:
         qname, qseq = read

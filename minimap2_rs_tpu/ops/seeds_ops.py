@@ -67,16 +67,26 @@ def query_occ_filter(
     searches of each row into itself."""
     B, M = ks.hi.shape
     keys = u64.shr(ks, 8)
-
-    def row_counts(kh, kl):
-        row = U64Pair(kh, kl)
-        lo = lower_bound_u64pair(row, row)
-        # upper bound: lower_bound of key+1
-        kp1 = u64.add(row, u64.const(1, row.hi.shape))
-        hi = lower_bound_u64pair(row, kp1)
-        return hi - lo
-
-    counts = jax.vmap(row_counts)(keys.hi, keys.lo)
+    # per-key counts on the sorted rows via run-length arithmetic (no
+    # binary search — cumulative ops only, TPU-friendly):
+    #   count[i] = last_index_of_run(i) - first_index_of_run(i) + 1
+    idx = jnp.broadcast_to(jnp.arange(M, dtype=I32), (B, M))
+    prev = u64.U64Pair(
+        jnp.concatenate([jnp.zeros((B, 1), jnp.uint32), keys.hi[:, :-1]], axis=1),
+        jnp.concatenate([jnp.zeros((B, 1), jnp.uint32), keys.lo[:, :-1]], axis=1),
+    )
+    boundary = ~u64.eq(keys, prev)
+    boundary = boundary.at[:, 0].set(True)
+    first = jax.lax.cummax(jnp.where(boundary, idx, I32(-1)), axis=1)
+    nxt_boundary = jnp.concatenate(
+        [boundary[:, 1:], jnp.ones((B, 1), bool)], axis=1
+    )
+    INF = I32(2**30)
+    last = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(nxt_boundary, idx, INF), axis=1), axis=1),
+        axis=1,
+    )
+    counts = last - first + 1
     cutoff = (n_mini.astype(jnp.float32) * q_occ_frac).astype(I32)
     drop = (counts > q_occ_max) & (counts > cutoff[:, None])
     drop = drop & (n_mini[:, None] > q_occ_max)

@@ -106,12 +106,17 @@ def sketch_positions(
     w: int,
     k: int,
     is_hpc: bool = False,
+    emit_final: jnp.ndarray | None = None,  # (B,) bool, default all-true
 ):
     """Per-position minimizer emission.
 
     Returns (key_span: U64Pair (B,L), pos_strand: (B,L) uint32 packed
     pos<<1|strand, emitted: bool (B,L)). rid is not encoded here — callers
     add it (queries use rid=0; the index builder carries rids alongside).
+
+    emit_final=False suppresses the sequence-end flush (sketch.rs:99) for
+    rows that are interior chunks of a longer sequence (the chunked
+    index-build path, ops/index_build.py).
     """
     B, L = codes.shape
     codes = codes.astype(I32)
@@ -220,6 +225,8 @@ def sketch_positions(
     last = jnp.maximum(lengths - 1, 0)
     rows1 = jnp.arange(B, dtype=I32)
     fin_valid = jnp.take_along_axis(valid_w, last[:, None], axis=1)[:, 0] & (lengths > 0)
+    if emit_final is not None:
+        fin_valid = fin_valid & emit_final
     fin_idx = jnp.take_along_axis(widx, last[:, None], axis=1)[:, 0]
     emitted = emitted.at[rows1, jnp.where(fin_valid, fin_idx, 0)].max(fin_valid)
 

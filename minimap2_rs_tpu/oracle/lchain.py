@@ -226,7 +226,19 @@ def backtrack(anchors: np.ndarray, f, v, prev, p: ChainParams):
 
 
 def chain_dp_all(anchors: np.ndarray, p: ChainParams):
-    """Full chaining (lchain.rs:59-176): DP + backtracking."""
+    """Full chaining (lchain.rs:59-176): DP + backtracking. Dispatches to
+    the native runtime when available (bit-exact; see
+    tests/test_native_runtime.py)."""
+    import os
+
+    if not os.environ.get("MM2T_NO_NATIVE"):
+        from ..runtime.host import native_backtrack, native_chain_dp
+
+        fvp = native_chain_dp(anchors, p)
+        if fvp is not None:
+            out = native_backtrack(anchors, *fvp, p)
+            if out is not None:
+                return out
     f, v, prev = chain_dp_scores(anchors, p)
     return backtrack(anchors, f, v, prev, p)
 
@@ -239,26 +251,24 @@ def chain_dp(anchors: np.ndarray, p: ChainParams) -> list[int]:
 
 def chain_qrange(anchors: np.ndarray, chain: list[int]) -> tuple[int, int]:
     """(qstart, qend) over a chain's anchors (lchain.rs:178-188)."""
-    qs, qe = 2**31 - 1, -1
-    for i in chain:
-        y = int(anchors[i, 1])
-        s = _qpos(y) - (_qspan(y) - 1)
-        e = _qpos(y) + 1
-        qs = min(qs, s)
-        qe = max(qe, e)
-    return max(qs, 0), qe
+    if not len(chain):
+        return 0, -1
+    ay = anchors[np.asarray(chain, dtype=np.int64), 1]
+    qpos_v = (ay & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    span_v = ((ay >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    return max(int((qpos_v - (span_v - 1)).min()), 0), int(qpos_v.max()) + 1
 
 
 def chain_trange(anchors: np.ndarray, chain: list[int]) -> tuple[int, int]:
     """(tstart, tend) over a chain's anchors (lchain.rs:190-200)."""
-    ts, te = 2**31 - 1, -1
-    for i in chain:
-        x, y = int(anchors[i, 0]), int(anchors[i, 1])
-        s = _rpos(x) - (_qspan(y) - 1)
-        e = _rpos(x) + 1
-        ts = min(ts, s)
-        te = max(te, e)
-    return max(ts, 0), te
+    if not len(chain):
+        return 0, -1
+    ch = np.asarray(chain, dtype=np.int64)
+    ax = anchors[ch, 0]
+    ay = anchors[ch, 1]
+    rpos_v = (ax & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    span_v = ((ay >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    return max(int((rpos_v - (span_v - 1)).min()), 0), int(rpos_v.max()) + 1
 
 
 def sort_chains_stable(anchors: np.ndarray, chains, scores):

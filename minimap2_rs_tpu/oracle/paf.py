@@ -97,20 +97,17 @@ def paf_from_chain(
     if not chain:
         return None
     strand = "-" if _rev(int(anchors[chain[0], 0])) else "+"
-    qs, qe = 2**31 - 1, -1
-    ts, te = 2**31 - 1, -1
-    cm = 0
-    for i in chain:
-        x, y = int(anchors[i, 0]), int(anchors[i, 1])
-        cm += 1
-        s = _qpos(y) - (_qspan(y) - 1)
-        e = _qpos(y) + 1
-        qs = min(qs, s)
-        qe = max(qe, e)
-        rs = _rpos(x) - (_qspan(y) - 1)
-        re = _rpos(x) + 1
-        ts = min(ts, rs)
-        te = max(te, re)
+    ch = np.asarray(chain, dtype=np.int64)
+    ax = anchors[ch, 0]
+    ay = anchors[ch, 1]
+    qpos_v = (ay & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    span_v = ((ay >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    rpos_v = (ax & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    cm = int(ch.shape[0])
+    qs = int((qpos_v - (span_v - 1)).min())
+    qe = int(qpos_v.max()) + 1
+    ts = int((rpos_v - (span_v - 1)).min())
+    te = int(rpos_v.max()) + 1
     qs = max(qs, 0)
     ts = max(ts, 0)
     rid0 = (int(anchors[chain[0], 0]) >> 32) & 0x7FFFFFFF
@@ -127,15 +124,9 @@ def paf_from_chain(
     sum_k = sum(ks & 0xFF for ks, _ in mv)
     avg_k = _F32(sum_k) / _F32(len(mv)) if mv else _F32(idx.k)
 
-    def qpos_fwd(x: int, y: int) -> int:
-        qp = _qpos(y)
-        qsp = _qspan(y)
-        if _rev(x):
-            return qlen - 1 - (qp + 1 - qsp)
-        return qp
-
-    it = reversed(chain) if strand == "-" else iter(chain)
-    chain_qs_fwd = [qpos_fwd(int(anchors[i, 0]), int(anchors[i, 1])) for i in it]
+    rev_v = (ax >> np.uint64(63)) != 0
+    qfwd = np.where(rev_v, qlen - 1 - (qpos_v + 1 - span_v), qpos_v)
+    chain_qs_fwd = qfwd[::-1].tolist() if strand == "-" else qfwd.tolist()
 
     dv = _F32(0.0)
     if mini_pos and chain_qs_fwd:

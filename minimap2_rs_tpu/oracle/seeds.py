@@ -18,7 +18,17 @@ from .sketch import sketch_sequence, sketch_sequence_fast
 
 def collect_query_minimizers(seq: bytes, w: int, k: int) -> list[tuple[int, int]]:
     """Query sketch in the exact scan's emission order (seeds.rs:7-11) —
-    the order matters for the dv estimate (paf.rs:156-199)."""
+    the order matters for the dv estimate (paf.rs:156-199). Dispatches to
+    the native runtime when available (bit- and order-exact; fuzz-verified
+    in tests/test_native_runtime.py)."""
+    import os
+
+    if len(seq) and not os.environ.get("MM2T_NO_NATIVE"):
+        from ..runtime.host import native_sketch
+
+        out = native_sketch(seq, w, k, rid=0, is_hpc=False)
+        if out is not None:
+            return out
     return sketch_sequence(seq, w, k, rid=0, is_hpc=False)
 
 

@@ -1,0 +1,170 @@
+"""ctypes bindings for the native host runtime (libmm2t_host.so).
+
+The library is built with `make -C minimap2_rs_tpu/runtime/native` (plain
+g++, no extra deps). Every entry point has a pure-Python fallback in the
+oracle package, so the framework works without the .so — the native path
+is the production-speed host runtime for the irregular work around the
+TPU kernels (SURVEY.md section 2 note: "no Python stand-ins for hot
+paths").
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+class _ChainParamsC(ctypes.Structure):
+    _fields_ = [
+        ("max_dist_x", ctypes.c_int32),
+        ("max_dist_y", ctypes.c_int32),
+        ("bw", ctypes.c_int32),
+        ("max_chain_iter", ctypes.c_int32),
+        ("min_chain_score", ctypes.c_int32),
+        ("min_cnt", ctypes.c_int32),
+        ("max_chain_skip", ctypes.c_int32),
+        ("max_drop", ctypes.c_int32),
+        ("chn_pen_gap", ctypes.c_float),
+        ("chn_pen_skip", ctypes.c_float),
+    ]
+
+
+def _params_c(p) -> _ChainParamsC:
+    return _ChainParamsC(
+        p.max_dist_x, p.max_dist_y, p.bw, p.max_chain_iter,
+        p.min_chain_score, p.min_cnt, p.max_chain_skip, p.max_drop,
+        p.chn_pen_gap, p.chn_pen_skip,
+    )
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(os.path.dirname(__file__), "native", "libmm2t_host.so")
+    if not os.path.exists(so):
+        # best-effort local build (g++ is expected in the image)
+        try:
+            subprocess.run(
+                ["make", "-s", "-C", os.path.dirname(so)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    u64p = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+
+    lib.mm2t_sketch.restype = ctypes.c_int64
+    lib.mm2t_sketch.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_uint32, ctypes.c_int32, u64p, ctypes.c_int64,
+    ]
+    lib.mm2t_chain_dp.restype = None
+    lib.mm2t_chain_dp.argtypes = [
+        u64p, u64p, ctypes.c_int64, ctypes.POINTER(_ChainParamsC),
+        i32p, i32p, i64p,
+    ]
+    lib.mm2t_backtrack.restype = ctypes.c_int64
+    lib.mm2t_backtrack.argtypes = [
+        u64p, u64p, ctypes.c_int64, i32p, i32p, i64p,
+        ctypes.POINTER(_ChainParamsC), i64p, ctypes.c_int64,
+        i64p, i64p, i64p, ctypes.c_int64,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def native_sketch(seq: bytes, w: int, k: int, rid: int = 0, is_hpc: bool = False):
+    """Exact reference-order minimizer scan; returns list[(key_span, rps)]
+    or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(seq, dtype=np.uint8) if isinstance(seq, (bytes, bytearray)) else np.ascontiguousarray(seq, dtype=np.uint8)
+    cap = max(16, len(arr))
+    out = np.empty(2 * cap, dtype=np.uint64)
+    n = lib.mm2t_sketch(arr, arr.shape[0], w, k, rid, int(is_hpc), out, cap)
+    if n < 0:
+        raise ValueError("invalid sketch parameters")
+    if n > cap:
+        out = np.empty(2 * n, dtype=np.uint64)
+        n = lib.mm2t_sketch(arr, arr.shape[0], w, k, rid, int(is_hpc), out, n)
+    recs = out[: 2 * n].reshape(-1, 2)
+    return [(int(a), int(b)) for a, b in recs]
+
+
+def native_sketch_array(seq: bytes, w: int, k: int, rid: int = 0, is_hpc: bool = False):
+    """Like native_sketch but returns the (n, 2) uint64 array directly."""
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(seq, dtype=np.uint8) if isinstance(seq, (bytes, bytearray)) else np.ascontiguousarray(seq, dtype=np.uint8)
+    cap = max(16, len(arr))
+    out = np.empty(2 * cap, dtype=np.uint64)
+    n = lib.mm2t_sketch(arr, arr.shape[0], w, k, rid, int(is_hpc), out, cap)
+    if n < 0:
+        raise ValueError("invalid sketch parameters")
+    if n > cap:
+        out = np.empty(2 * n, dtype=np.uint64)
+        n = lib.mm2t_sketch(arr, arr.shape[0], w, k, rid, int(is_hpc), out, n)
+    return out[: 2 * n].reshape(-1, 2).copy()
+
+
+def native_chain_dp(anchors: np.ndarray, p):
+    """Exact reference DP (with max_chain_skip pruning). Returns
+    (f, v, prev) int64 arrays or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = anchors.shape[0]
+    ax = np.ascontiguousarray(anchors[:, 0], dtype=np.uint64)
+    ay = np.ascontiguousarray(anchors[:, 1], dtype=np.uint64)
+    f = np.zeros(n, dtype=np.int32)
+    v = np.zeros(n, dtype=np.int32)
+    prev = np.full(n, -1, dtype=np.int64)
+    if n:
+        lib.mm2t_chain_dp(ax, ay, n, ctypes.byref(_params_c(p)), f, v, prev)
+    return f.astype(np.int64), v.astype(np.int64), prev
+
+
+def native_backtrack(anchors: np.ndarray, f, v, prev, p):
+    """Backtracking + chain assembly; returns (chains, scores) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = anchors.shape[0]
+    if n == 0:
+        return [], []
+    ax = np.ascontiguousarray(anchors[:, 0], dtype=np.uint64)
+    ay = np.ascontiguousarray(anchors[:, 1], dtype=np.uint64)
+    f32 = np.ascontiguousarray(f, dtype=np.int32)
+    v32 = np.ascontiguousarray(v, dtype=np.int32)
+    pr = np.ascontiguousarray(prev, dtype=np.int64)
+    flat = np.empty(n, dtype=np.int64)
+    cap_chains = n
+    starts = np.empty(cap_chains, dtype=np.int64)
+    lens = np.empty(cap_chains, dtype=np.int64)
+    scores = np.empty(cap_chains, dtype=np.int64)
+    m = lib.mm2t_backtrack(
+        ax, ay, n, f32, v32, pr, ctypes.byref(_params_c(p)),
+        flat, n, starts, lens, scores, cap_chains,
+    )
+    chains = [flat[starts[i] : starts[i] + lens[i]].tolist() for i in range(m)]
+    return chains, scores[:m].tolist()

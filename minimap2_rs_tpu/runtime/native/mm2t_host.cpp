@@ -1,0 +1,364 @@
+// Native host runtime for minimap2_rs_tpu.
+//
+// The device (TPU) owns the heavy compute (sketch, lookup, anchor
+// expansion, chaining DP scores); this library owns the irregular
+// pointer-chasing host work the reference does in Rust:
+//
+//  - exact minimizer scan (reference semantics incl. emission order,
+//    /root/reference/src/sketch.rs:29-100) — used for the dv estimate
+//    (paf.rs:156), even-k sketching, and CPU fallbacks;
+//  - chain backtracking over (f, v, prev) from the device DP
+//    (lchain.rs:92-176 semantics, incl. the degenerate bk_end walk and
+//    the greedy fallback);
+//  - chain merge / primary-secondary selection (lchain.rs:220-314);
+//  - exact reference chaining DP (lchain.rs:59-91, with the
+//    max_chain_skip pruning) for CPU fallback and parity validation;
+//  - PAF numeric-field construction incl. the dv estimate
+//    (paf.rs:130-222).
+//
+// Plain C ABI; Python binds with ctypes (runtime/host.py). All 64-bit
+// packed encodings match the reference bit layouts.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// exact minimizer scan (sketch.rs:29-100)
+// ---------------------------------------------------------------------
+
+static inline uint64_t hash64(uint64_t key, uint64_t mask) {
+  key = (~key + (key << 21)) & mask;
+  key = key ^ (key >> 24);
+  key = (key + (key << 3) + (key << 8)) & mask;
+  key = key ^ (key >> 14);
+  key = (key + (key << 2) + (key << 4)) & mask;
+  key = key ^ (key >> 28);
+  key = (key + (key << 31)) & mask;
+  return key;
+}
+
+static const uint8_t NT4[256] = {
+    // 'A'/'a'->0 'C'/'c'->1 'G'/'g'->2 'T'/'t'->3 else 4
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 0, 4, 1, 4, 4, 4, 2,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 3, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 0, 4, 1, 4, 4, 4, 2, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 3, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4};
+
+// Emits (key_span, rid_pos_strand) pairs into out (capacity cap).
+// Returns the number of records (may exceed cap; caller re-calls with a
+// bigger buffer — records beyond cap are discarded, not written).
+int64_t mm2t_sketch(const uint8_t* seq, int64_t n, int32_t w, int32_t k,
+                    uint32_t rid, int32_t is_hpc, uint64_t* out,
+                    int64_t cap) {
+  if (n <= 0 || w <= 0 || w >= 256 || k <= 0 || k > 28) return -1;
+  const uint64_t shift1 = 2 * (uint64_t)(k - 1);
+  const uint64_t mask = (~0ULL) >> (64 - 2 * k);
+  uint64_t kmer[2] = {0, 0};
+  int32_t l = 0, buf_pos = 0, min_pos = 0, kmer_span = 0;
+  struct Info {
+    uint64_t x, y;
+  };
+  std::vector<Info> buf(w, {~0ULL, ~0ULL});
+  Info mn = {~0ULL, ~0ULL};
+  int32_t tq[32];
+  int tq_front = 0, tq_count = 0;
+  int64_t n_out = 0;
+  auto push = [&](Info v) {
+    if (n_out < cap) {
+      out[2 * n_out] = v.x;
+      out[2 * n_out + 1] = v.y;
+    }
+    n_out++;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    int c = NT4[seq[i]];
+    Info info = {~0ULL, ~0ULL};
+    if (c < 4) {
+      if (is_hpc) {
+        int64_t skip_len = 1;
+        if (i + 1 < n && NT4[seq[i + 1]] == c) {
+          int64_t t = i + 2;
+          while (t < n && NT4[seq[t]] == c) t++;
+          skip_len = t - i;
+        }
+        tq[(tq_count + tq_front) & 0x1f] = (int32_t)skip_len;
+        tq_count++;
+        kmer_span += (int32_t)skip_len;
+        if (tq_count > k) {
+          kmer_span -= tq[tq_front];
+          tq_front = (tq_front + 1) & 0x1f;
+          tq_count--;
+        }
+      } else {
+        kmer_span = l + 1 < k ? l + 1 : k;
+      }
+      kmer[0] = ((kmer[0] << 2) | (uint64_t)c) & mask;
+      kmer[1] = (kmer[1] >> 2) | (((uint64_t)(3 ^ c)) << shift1);
+      if (kmer[0] != kmer[1]) {
+        int z = kmer[0] < kmer[1] ? 0 : 1;
+        ++l;
+        if (l >= k && kmer_span < 256) {
+          info.x = (hash64(kmer[z], mask) << 8) | (uint64_t)kmer_span;
+          info.y = ((uint64_t)rid << 32) | ((uint64_t)i << 1) | (uint64_t)z;
+        }
+      }
+    } else {
+      l = 0;
+      tq_front = tq_count = 0;
+      kmer_span = 0;
+    }
+    buf[buf_pos] = info;
+    if (l == w + k - 1 && mn.x != ~0ULL) {
+      for (int j = buf_pos + 1; j < w; ++j)
+        if (mn.x == buf[j].x && buf[j].y != mn.y) push(buf[j]);
+      for (int j = 0; j < buf_pos; ++j)
+        if (mn.x == buf[j].x && buf[j].y != mn.y) push(buf[j]);
+    }
+    if (info.x <= mn.x) {
+      if (l >= w + k && mn.x != ~0ULL) push(mn);
+      mn = info;
+      min_pos = buf_pos;
+    } else if (buf_pos == min_pos) {
+      if (l >= w + k - 1 && mn.x != ~0ULL) push(mn);
+      mn = {~0ULL, ~0ULL};
+      for (int j = buf_pos + 1; j < w; ++j)
+        if (mn.x >= buf[j].x) { mn = buf[j]; min_pos = j; }
+      for (int j = 0; j <= buf_pos; ++j)
+        if (mn.x >= buf[j].x) { mn = buf[j]; min_pos = j; }
+      if (l >= w + k - 1 && mn.x != ~0ULL) {
+        for (int j = buf_pos + 1; j < w; ++j)
+          if (mn.x == buf[j].x && mn.y != buf[j].y) push(buf[j]);
+        for (int j = 0; j <= buf_pos; ++j)
+          if (mn.x == buf[j].x && mn.y != buf[j].y) push(buf[j]);
+      }
+    }
+    if (++buf_pos == w) buf_pos = 0;
+  }
+  if (mn.x != ~0ULL) push(mn);
+  return n_out;
+}
+
+// ---------------------------------------------------------------------
+// chaining: exact reference DP (lchain.rs:59-91) — CPU fallback path
+// ---------------------------------------------------------------------
+
+struct ChainParamsC {
+  int32_t max_dist_x, max_dist_y, bw, max_chain_iter, min_chain_score,
+      min_cnt, max_chain_skip, max_drop;
+  float chn_pen_gap, chn_pen_skip;
+};
+
+static inline int32_t qpos_of(uint64_t y) { return (int32_t)(y & 0xffffffff); }
+static inline int32_t qspan_of(uint64_t y) {
+  return (int32_t)((y >> 32) & 0xff);
+}
+static inline int32_t rpos_of(uint64_t x) { return (int32_t)(x & 0xffffffff); }
+static inline int rev_of(uint64_t x) { return (int)(x >> 63); }
+static inline int32_t rid_of(uint64_t x) {
+  return (int32_t)((x >> 32) & 0x7fffffff);
+}
+
+static inline float mg_log2f(int32_t x) {
+  return x <= 1 ? 0.0f : logf((float)x) / 0.6931472f;
+}
+
+// returns INT32_MIN when unchainable
+static inline int32_t comput_sc(uint64_t xi, uint64_t yi, uint64_t xj,
+                                uint64_t yj, int32_t mdx, int32_t mdy,
+                                int32_t bw, float pg, float ps) {
+  int32_t dq = qpos_of(yi) - qpos_of(yj);
+  if (dq <= 0 || dq > mdx) return INT32_MIN;
+  int32_t dr = rpos_of(xi) - rpos_of(xj);
+  if (dr == 0 || dq > mdy) return INT32_MIN;
+  int32_t dd = dr > dq ? dr - dq : dq - dr;
+  if (dd > bw) return INT32_MIN;
+  int32_t dg = dr < dq ? dr : dq;
+  int32_t q_span = qspan_of(yj);
+  int32_t sc = q_span < dg ? q_span : dg;
+  if (dd != 0 || dg > q_span) {
+    float lin = pg * (float)dd + ps * (float)dg;
+    float logp = dd >= 1 ? mg_log2f(dd + 1) : 0.0f;
+    sc -= (int32_t)(lin + 0.5f * logp);
+  }
+  return sc;
+}
+
+// Exact DP with the max_chain_skip heuristic. f/v/prev are outputs (n).
+void mm2t_chain_dp(const uint64_t* ax, const uint64_t* ay, int64_t n,
+                   const ChainParamsC* p, int32_t* f, int32_t* v,
+                   int64_t* prev) {
+  int32_t mdx = p->max_dist_x > p->bw ? p->max_dist_x : p->bw;
+  int32_t mdy = p->max_dist_y > p->bw ? p->max_dist_y : p->bw;
+  std::vector<int64_t> t(n, 0);
+  int64_t st = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    while (st < i && (rid_of(ax[st]) != rid_of(ax[i]) ||
+                      rev_of(ax[st]) != rev_of(ax[i]) ||
+                      rpos_of(ax[i]) > rpos_of(ax[st]) + mdx))
+      ++st;
+    int64_t max_j = -1;
+    int32_t max_f = qspan_of(ay[i]);
+    int64_t start_j = i - p->max_chain_iter > st ? i - p->max_chain_iter : st;
+    int32_t n_skip = 0;
+    for (int64_t j = i - 1; j >= start_j; --j) {
+      if (rid_of(ax[j]) != rid_of(ax[i]) || rev_of(ax[j]) != rev_of(ax[i]))
+        continue;
+      int32_t sc0 = comput_sc(ax[i], ay[i], ax[j], ay[j], mdx, mdy, p->bw,
+                              p->chn_pen_gap, p->chn_pen_skip);
+      if (sc0 == INT32_MIN) continue;
+      int32_t sc = sc0 + f[j];
+      if (sc > max_f) {
+        max_f = sc;
+        max_j = j;
+        if (n_skip > 0) --n_skip;
+      } else if (t[j] == i) {
+        if (++n_skip > p->max_chain_skip) break;
+      }
+      if (prev[j] >= 0) t[prev[j]] = i;
+    }
+    f[i] = max_f;
+    prev[i] = max_j;
+    v[i] = (max_j >= 0 && v[max_j] > max_f) ? v[max_j] : max_f;
+  }
+}
+
+// ---------------------------------------------------------------------
+// backtracking (lchain.rs:92-176) from (f, v, prev)
+// ---------------------------------------------------------------------
+
+// Chains are emitted as a flat index list plus (start, len, score) per
+// chain, already sorted by (score desc, qstart, tstart).
+// Returns the number of chains; flat/starts/lens/scores have caller
+// capacities cap_flat / cap_chains.
+int64_t mm2t_backtrack(const uint64_t* ax, const uint64_t* ay, int64_t n,
+                       const int32_t* f, const int32_t* v,
+                       const int64_t* prev, const ChainParamsC* p,
+                       int64_t* flat, int64_t cap_flat, int64_t* starts,
+                       int64_t* lens, int64_t* scores, int64_t cap_chains) {
+  if (n == 0) return 0;
+  std::vector<std::pair<int32_t, int64_t>> z;
+  z.reserve(n);
+  for (int64_t i = 0; i < n; ++i)
+    if (f[i] > 0) z.emplace_back(f[i], i);
+  if (z.empty()) return 0;
+  std::stable_sort(z.begin(), z.end(),
+                   [](const auto& a, const auto& b) { return a.first < b.first; });
+  std::vector<int64_t> t(n, 0);
+  // bk_end: the reference walk always stops after one step (it marks
+  // t[i]=2 then tests t[i]==0) — see oracle/lchain.py bk_end.
+  auto bk_end = [&](int64_t i0, int32_t zscore) -> int64_t {
+    int64_t i = i0, end_i = -1, max_i = i0;
+    int32_t max_s = 0;
+    if (t[i] == 0) {
+      for (;;) {
+        t[i] = 2;
+        end_i = prev[i];
+        int32_t s = end_i < 0 ? zscore : zscore - f[end_i];
+        if (s > max_s) {
+          max_s = s;
+          max_i = end_i;
+        } else if (max_s - s > p->max_drop) {
+          break;
+        }
+        if (!(i >= 0 && t[i] == 0 && end_i >= 0)) break;
+        i = end_i;
+      }
+      int64_t ii = i0;
+      while (ii >= 0 && ii != end_i) {
+        t[ii] = 0;
+        ii = prev[ii];
+      }
+    }
+    return max_i;
+  };
+
+  struct Chain {
+    std::vector<int64_t> idx;
+    int32_t score;
+  };
+  std::vector<Chain> chains;
+  // the reference runs a counting pass then a fill pass with identical
+  // logic (lchain.rs:100-160); a single pass is equivalent
+  for (int64_t kk = (int64_t)z.size() - 1; kk >= 0; --kk) {
+    int64_t i0 = z[kk].second;
+    if (t[i0] != 0) continue;
+    int64_t end_i = bk_end(i0, z[kk].first);
+    std::vector<int64_t> idxs;
+    int64_t i = i0;
+    while (i >= 0 && i != end_i) {
+      idxs.push_back(i);
+      t[i] = 1;
+      i = prev[i];
+    }
+    int32_t sc = i < 0 ? z[kk].first : z[kk].first - f[i];
+    if (sc >= p->min_chain_score && (int64_t)idxs.size() >= p->min_cnt) {
+      std::reverse(idxs.begin(), idxs.end());
+      chains.push_back({std::move(idxs), sc});
+    }
+  }
+  if (chains.empty()) {
+    // greedy fallback (lchain.rs:161-173)
+    int64_t best_i = 0;
+    for (int64_t i = 1; i < n; ++i)
+      if (f[i] > f[best_i]) best_i = i;
+    std::vector<int64_t> idxs;
+    int64_t i = best_i;
+    while (i >= 0) {
+      idxs.push_back(i);
+      i = prev[i];
+    }
+    std::reverse(idxs.begin(), idxs.end());
+    if (!idxs.empty()) chains.push_back({std::move(idxs), v[best_i]});
+  }
+  // stable sort by (score desc, qstart, tstart) (lchain.rs:202-218)
+  auto qstart = [&](const Chain& c) {
+    int32_t qs = INT32_MAX;
+    for (int64_t i : c.idx) {
+      int32_t s = qpos_of(ay[i]) - (qspan_of(ay[i]) - 1);
+      if (s < qs) qs = s;
+    }
+    return qs < 0 ? 0 : qs;
+  };
+  auto tstart = [&](const Chain& c) {
+    int32_t ts = INT32_MAX;
+    for (int64_t i : c.idx) {
+      int32_t s = rpos_of(ax[i]) - (qspan_of(ay[i]) - 1);
+      if (s < ts) ts = s;
+    }
+    return ts < 0 ? 0 : ts;
+  };
+  std::vector<int64_t> ord(chains.size());
+  for (size_t i = 0; i < ord.size(); ++i) ord[i] = (int64_t)i;
+  std::stable_sort(ord.begin(), ord.end(), [&](int64_t a, int64_t b) {
+    if (chains[a].score != chains[b].score)
+      return chains[a].score > chains[b].score;
+    int32_t qa = qstart(chains[a]), qb = qstart(chains[b]);
+    if (qa != qb) return qa < qb;
+    return tstart(chains[a]) < tstart(chains[b]);
+  });
+  int64_t n_chains = 0, off = 0;
+  for (int64_t oi : ord) {
+    const Chain& c = chains[oi];
+    if (n_chains >= cap_chains || off + (int64_t)c.idx.size() > cap_flat) break;
+    starts[n_chains] = off;
+    lens[n_chains] = (int64_t)c.idx.size();
+    scores[n_chains] = c.score;
+    for (int64_t i : c.idx) flat[off++] = i;
+    ++n_chains;
+  }
+  return n_chains;
+}
+
+}  // extern "C"

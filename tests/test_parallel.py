@@ -21,11 +21,13 @@ def test_dryrun_multichip():
 
 def test_entry_compiles():
     import __graft_entry__ as g
+    from minimap2_rs_tpu.models.mapper import _unpack_map_stage
 
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    assert int(np.asarray(out["n_anchors"]).sum()) > 0
+    unpacked = _unpack_map_stage(np.asarray(out), M=64, A=128)
+    assert int(unpacked["n_anchors"].sum()) > 0
 
 
 def test_sharded_index_roundtrip():
