@@ -48,7 +48,10 @@ def _combine64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A", "window"),
+    static_argnames=(
+        "w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A", "window",
+        "pallas_chain",
+    ),
 )
 def _fused_map_stage(
     dev_idx: DeviceIndex,
@@ -65,6 +68,7 @@ def _fused_map_stage(
     M: int,
     A: int,
     window: int,
+    pallas_chain: bool = False,
 ):
     """The whole per-batch device pipeline as one XLA program."""
     ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
@@ -74,7 +78,11 @@ def _fused_map_stage(
     x_hi, x_lo, y_hi, y_lo, n_anchors, anc_ovf = build_anchors_device(
         dev_idx, sks, sps, keep, lengths, mid_occ, A
     )
-    f, v, prev = chain_dp_batch(
+    if pallas_chain:
+        from ..ops.chain_pallas import chain_dp_batch_pallas as _chain_fn
+    else:
+        _chain_fn = chain_dp_batch
+    f, v, prev = _chain_fn(
         x_hi, x_lo.astype(I32), y_lo.astype(I32),
         (y_hi & jnp.uint32(0xFF)).astype(I32), scalars, window,
     )
@@ -94,6 +102,18 @@ def _fused_map_stage(
         axis=1,
     )
     return packed
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _packed_chain_stage(x_hi, x_lo, y_hi, y_lo, scalars, *, window: int):
+    """Chain DP alone (the rescue re-run, lchain.rs:321-330), packed into
+    one transfer buffer [f | v | prev]."""
+    f, v, prev = chain_dp_batch(
+        x_hi, x_lo.astype(I32), y_lo.astype(I32),
+        (y_hi & jnp.uint32(0xFF)).astype(I32), scalars, window,
+    )
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+    return jnp.concatenate([bc(f), bc(v), bc(prev)], axis=1)
 
 
 def _unpack_map_stage(packed: np.ndarray, M: int, A: int) -> dict:
@@ -129,8 +149,11 @@ class Mapper:
     # length buckets: reads are padded to the smallest bucket >= their length
     buckets: tuple[int, ...] = (1024, 2048, 4096, 8192, 16384, 32768, 65536)
     batch_size: int = 64
-    mini_frac: float = 0.5   # minimizer slots per base of bucket
-    anchor_frac: float = 0.75  # anchor slots per base of bucket
+    # minimizer density is ~2/(w+1) ~ 0.18/base and anchors ~1.05x that on
+    # non-repetitive genomes; reads that overflow the padded slots fall
+    # back to the host path, so these control speed, not correctness
+    mini_frac: float = 0.3   # minimizer slots per base of bucket
+    anchor_frac: float = 0.45  # anchor slots per base of bucket
     stats: dict = dataclasses.field(default_factory=dict)
 
     def _t(self, key: str, dt: float):
@@ -138,7 +161,9 @@ class Mapper:
 
     @staticmethod
     def from_oracle_index(idx: OracleIndex, cp: ChainParams, mp: MapParams = MapParams(), **kw) -> "Mapper":
-        dev = DeviceIndex.from_host(idx.keys, idx.starts, idx.counts, idx.positions)
+        dev = DeviceIndex.from_host(
+            idx.keys, idx.starts, idx.counts, idx.positions, key_bits=2 * idx.k
+        )
         mid_occ = max(idx.calc_mid_occ(mp.frac_top_repetitive), mp.mid_occ_floor)
         return Mapper(idx=idx, dev_idx=dev, cp=cp, mp=mp, mid_occ=mid_occ, **kw)
 
@@ -146,19 +171,21 @@ class Mapper:
 
     def _device_stage(self, codes, lengths, M, A, scalars: ChainScalars, window: int):
         """The fused device pipeline for one padded batch."""
+        import os
+
         return _fused_map_stage(
             self.dev_idx, codes, lengths, scalars, jnp.int32(self.mid_occ),
             w=self.idx.w, k=self.idx.k, hpc=bool(self.idx.flag & 1),
             q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
             M=M, A=A, window=window,
+            pallas_chain=bool(os.environ.get("MM2T_PALLAS_CHAIN")),
         )
 
     def _rescue_stage(self, x_hi, x_lo, y_hi, y_lo, window: int):
         p2 = dataclasses.replace(self.cp, bw=self.cp.bw_long)
         scal2 = chain_scalars_from_params(p2)
-        return chain_dp_batch(
-            x_hi, x_lo.astype(I32), y_lo.astype(I32), (y_hi & jnp.uint32(0xFF)).astype(I32),
-            scal2, window,
+        return _packed_chain_stage(
+            x_hi, x_lo, y_hi, y_lo, scal2, window=window
         )
 
     # ------------------------------------------------------------------
@@ -183,9 +210,17 @@ class Mapper:
                 continue
             groups.setdefault(bucket, []).append(i)
 
+        import time as _time
+
+        # phase 1: submit every batch to the device (async dispatch) so
+        # TPU compute and device->host transfers overlap with the host
+        # postprocessing of earlier batches
+        pending = []
+        t0 = _time.time()
         for bucket, idxs in groups.items():
-            M = max(128, int(bucket * self.mini_frac))
-            A = max(128, int(bucket * self.anchor_frac))
+            # lane-aligned padded capacities
+            M = max(128, -(-int(bucket * self.mini_frac) // 128) * 128)
+            A = max(128, -(-int(bucket * self.anchor_frac) // 128) * 128)
             window = min(self.cp.max_chain_iter, A)
             for c0 in range(0, len(idxs), self.batch_size):
                 chunk = idxs[c0 : c0 + self.batch_size]
@@ -198,28 +233,152 @@ class Mapper:
                     s = reads[ri][1]
                     codes[bi, : len(s)] = nt4_encode(s)
                     lengths[bi] = len(s)
-                import time as _time
-
-                t0 = _time.time()
                 packed = self._device_stage(
                     jnp.asarray(codes), jnp.asarray(lengths), M, A, scalars, window
                 )
-                jax.block_until_ready(packed)
-                t1 = _time.time()
-                out = _unpack_map_stage(np.asarray(packed), M, A)
-                t2 = _time.time()
-                self._postprocess(reads, chunk, out, results, window)
-                t3 = _time.time()
-                self._t("device", t1 - t0)
-                self._t("d2h", t2 - t1)
-                self._t("post", t3 - t2)
+                pending.append((chunk, packed, M, A, window))
+        self._t("submit", _time.time() - t0)
+
+        # phase 2: pull + postprocess in submission order
+        self._rescue_queue: list = []
+        for chunk, packed, M, A, window in pending:
+            t1 = _time.time()
+            out = _unpack_map_stage(np.asarray(packed), M, A)
+            t2 = _time.time()
+            self._postprocess(reads, chunk, out, results, window)
+            t3 = _time.time()
+            self._t("d2h+wait", t2 - t1)
+            self._t("post", t3 - t2)
+
+        # phase 3: one batched wide-band rescue pass for all queued reads
+        t4 = _time.time()
+        self._drain_rescues(reads, results)
+        self._t("rescue", _time.time() - t4)
 
         return [line for i in range(len(reads)) for line in results.get(i, [])]
 
     # ------------------------------------------------------------------
 
     def _postprocess(self, reads, chunk, out, results, window):
-        """Host: backtrack, select, rescue, PAF."""
+        """Host: backtrack, select, rescue, PAF. Dispatches to the native
+        runtime's consolidated postprocess when available."""
+        import os
+
+        if not os.environ.get("MM2T_NO_NATIVE"):
+            from ..runtime.host import native_available
+
+            if native_available():
+                return self._postprocess_native(reads, chunk, out, results, window)
+        return self._postprocess_python(reads, chunk, out, results, window)
+
+    def _postprocess_native(self, reads, chunk, out, results, window):
+        """One C call per read: backtrack + merge + select + PAF fields +
+        dv; Python only formats the lines."""
+        from ..runtime.host import native_postprocess
+
+        if not hasattr(self, "_tlens"):
+            self._tlens = np.array([s.length for s in self.idx.seq], dtype=np.int32)
+            self._tnames = [s.name or "*" for s in self.idx.seq]
+        tlens = self._tlens
+        for bi, ri in enumerate(chunk):
+            qname, qseq = reads[ri]
+            if out["mini_ovf"][bi] or out["anc_ovf"][bi]:
+                results[ri] = self._host_fallback(reads[ri])
+                continue
+            n = int(out["n_anchors"][bi])
+            if n == 0:
+                results[ri] = []
+                continue
+            anchors = np.stack(
+                [
+                    _combine64(out["x_hi"][bi, :n], out["x_lo"][bi, :n]),
+                    _combine64(out["y_hi"][bi, :n], out["y_lo"][bi, :n]),
+                ],
+                axis=1,
+            )
+            nm = int(out["n_mini"][bi])
+            mini_pos = (out["cps"][bi, :nm] >> 1).astype(np.int32)
+            mini_span = out["mini_span"][bi, :nm].astype(np.int32)
+            res = native_postprocess(
+                anchors, out["f"][bi, :n], out["v"][bi, :n],
+                out["prev"][bi, :n].astype(np.int64), self.cp, len(qseq),
+                self.mp.mask_level, self.mp.pri_ratio, self.mp.best_n,
+                mini_pos, mini_span, tlens,
+            )
+            recs, dv, s1, s2, rescue = res
+            if rescue:
+                # defer: all rescued reads across all batches re-run the
+                # wide-band DP in one batched pass (lchain.rs:321-330)
+                self._rescue_queue.append((ri, anchors, mini_pos, mini_span))
+                continue
+            results[ri] = self._format_lines(qname, len(qseq), recs, dv, s1, s2)
+
+    def _format_lines(self, qname, qlen, recs, dv, s1, s2):
+        tlens = self._tlens
+        lines = []
+        for m in range(recs.shape[0]):
+            qs, qe, ts, te, cm, rid, rev, _pri, _sc = recs[m]
+            strand = "-" if rev else "+"
+            wqs, wqe = (qlen - qe, qlen - qs) if rev else (qs, qe)
+            mlen = max(qe - qs, 0)
+            blen = max(te - ts, 0)
+            tp = "P" if m == 0 else "S"
+            lines.append(
+                f"{qname}\t{qlen}\t{wqs}\t{wqe}\t{strand}\t"
+                f"{self._tnames[rid]}\t{tlens[rid]}\t{ts}\t{te}\t{mlen}\t"
+                f"{blen}\t{self.mp.mapq}\ttp:A:{tp}\tcm:i:{cm}\t"
+                f"s1:i:{s1}\ts2:i:{s2}\tdv:f:{dv[m]:.4f}\trl:i:0"
+            )
+        return lines
+
+    def _drain_rescues(self, reads, results):
+        """Batched wide-band re-chaining for all queued rescue reads."""
+        from ..runtime.host import native_postprocess
+
+        queue = self._rescue_queue
+        self._rescue_queue = []
+        if not queue:
+            return
+        p2 = dataclasses.replace(self.cp, bw=self.cp.bw_long)
+        A = max(128, -(-max(a.shape[0] for _, a, _m, _s in queue) // 128) * 128)
+        window = min(self.cp.max_chain_iter, A)
+        B = self.batch_size
+        tlens = self._tlens
+        for c0 in range(0, len(queue), B):
+            group = queue[c0 : c0 + B]
+            x_hi = np.full((B, A), 0xFFFFFFFF, dtype=np.uint32)
+            x_lo = np.full((B, A), 0xFFFFFFFF, dtype=np.uint32)
+            y_hi = np.full((B, A), 0xFFFFFFFF, dtype=np.uint32)
+            y_lo = np.full((B, A), 0xFFFFFFFF, dtype=np.uint32)
+            for bi, (_ri, anchors, _mp, _ms) in enumerate(group):
+                n = anchors.shape[0]
+                x_hi[bi, :n] = (anchors[:, 0] >> np.uint64(32)).astype(np.uint32)
+                x_lo[bi, :n] = (anchors[:, 0] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                y_hi[bi, :n] = (anchors[:, 1] >> np.uint64(32)).astype(np.uint32)
+                y_lo[bi, :n] = (anchors[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            packed2 = np.asarray(
+                self._rescue_stage(
+                    jnp.asarray(x_hi), jnp.asarray(x_lo),
+                    jnp.asarray(y_hi), jnp.asarray(y_lo), window,
+                )
+            )
+            f2 = packed2[:, :A].view(np.int32)
+            v2 = packed2[:, A : 2 * A].view(np.int32)
+            prev2 = packed2[:, 2 * A : 3 * A].view(np.int32)
+            for bi, (ri, anchors, mini_pos, mini_span) in enumerate(group):
+                n = anchors.shape[0]
+                qname, qseq = reads[ri]
+                res = native_postprocess(
+                    anchors, f2[bi, :n], v2[bi, :n], prev2[bi, :n].astype(np.int64),
+                    p2, len(qseq),
+                    self.mp.mask_level, self.mp.pri_ratio, self.mp.best_n,
+                    mini_pos, mini_span, tlens,
+                )
+                recs, dv, s1, s2, _ = res
+                results[ri] = self._format_lines(qname, len(qseq), recs, dv, s1, s2)
+
+    def _postprocess_python(self, reads, chunk, out, results, window):
+        """Pure-Python fallback postprocess."""
         rescue_rows = []
         per_row: dict[int, tuple] = {}
         for bi, ri in enumerate(chunk):
@@ -253,11 +412,18 @@ class Mapper:
                 rescue_rows.append(bi)
 
         if rescue_rows:
-            f2, v2, prev2 = self._rescue_stage(
-                jnp.asarray(out["x_hi"]), jnp.asarray(out["x_lo"]),
-                jnp.asarray(out["y_hi"]), jnp.asarray(out["y_lo"]), window,
+            packed2 = np.asarray(
+                self._rescue_stage(
+                    jnp.asarray(np.ascontiguousarray(out["x_hi"])),
+                    jnp.asarray(np.ascontiguousarray(out["x_lo"])),
+                    jnp.asarray(np.ascontiguousarray(out["y_hi"])),
+                    jnp.asarray(np.ascontiguousarray(out["y_lo"])), window,
+                )
             )
-            f2, v2, prev2 = np.asarray(f2), np.asarray(v2), np.asarray(prev2)
+            A = out["x_hi"].shape[1]
+            f2 = packed2[:, :A].view(np.int32)
+            v2 = packed2[:, A : 2 * A].view(np.int32)
+            prev2 = packed2[:, 2 * A : 3 * A].view(np.int32)
             p2 = dataclasses.replace(self.cp, bw=self.cp.bw_long)
             for bi in rescue_rows:
                 anchors, _, _, mv = per_row[bi]

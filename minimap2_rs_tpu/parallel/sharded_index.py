@@ -35,16 +35,20 @@ class ShardedDeviceIndex:
     counts: jnp.ndarray
     pos_hi: jnp.ndarray   # (D, P_loc)
     pos_lo: jnp.ndarray
+    prefix: jnp.ndarray   # (D, 2^16 + 1) per-shard prefix lower bounds
+    prefix_shift: int = 0
+    lb_steps: int = 32
 
     def tree_flatten(self):
         return (
-            (self.keys_hi, self.keys_lo, self.starts, self.counts, self.pos_hi, self.pos_lo),
-            None,
+            (self.keys_hi, self.keys_lo, self.starts, self.counts,
+             self.pos_hi, self.pos_lo, self.prefix),
+            (self.prefix_shift, self.lb_steps),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, prefix_shift=aux[0], lb_steps=aux[1])
 
     @property
     def n_shards(self) -> int:
@@ -56,12 +60,14 @@ class ShardedDeviceIndex:
             keys_hi=self.keys_hi[0], keys_lo=self.keys_lo[0],
             starts=self.starts[0], counts=self.counts[0],
             pos_hi=self.pos_hi[0], pos_lo=self.pos_lo[0],
+            prefix=self.prefix[0],
+            prefix_shift=self.prefix_shift, lb_steps=self.lb_steps,
         )
 
     @staticmethod
     def from_host(
         keys: np.ndarray, starts: np.ndarray, counts: np.ndarray,
-        positions: np.ndarray, n_shards: int,
+        positions: np.ndarray, n_shards: int, key_bits: int = 56,
     ) -> "ShardedDeviceIndex":
         """Split flat host arrays into n_shards contiguous key ranges,
         padded to uniform per-shard sizes (padding keys are U64-max so
@@ -89,12 +95,23 @@ class ShardedDeviceIndex:
         ct = np.zeros((n_shards, u_loc), dtype=np.int32)
         ph = np.zeros((n_shards, p_loc), dtype=np.uint32)
         plo = np.zeros((n_shards, p_loc), dtype=np.uint32)
+        shift = max(0, key_bits - 16)
+        ptab = np.zeros((n_shards, (1 << 16) + 1), dtype=np.int32)
+        lb_steps = 1
         for s, (lo_k, hi_k, p_lo, p_hi) in enumerate(slices):
             n = hi_k - lo_k
+            kslice = keys[lo_k:hi_k]
+            ptab[s] = np.searchsorted(
+                (kslice >> np.uint64(shift)).astype(np.int64),
+                np.arange((1 << 16) + 1), side="left",
+            ).astype(np.int32)
+            if n:
+                bmax = int(np.diff(ptab[s]).max())
+                lb_steps = max(lb_steps, int(np.ceil(np.log2(bmax + 1))) + 1)
             if n == 0:
                 continue
-            kh[s, :n] = (keys[lo_k:hi_k] >> np.uint64(32)).astype(np.uint32)
-            kl[s, :n] = (keys[lo_k:hi_k] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            kh[s, :n] = (kslice >> np.uint64(32)).astype(np.uint32)
+            kl[s, :n] = (kslice & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             st[s, :n] = (starts[lo_k:hi_k] - p_lo).astype(np.int32)
             ct[s, :n] = counts[lo_k:hi_k].astype(np.int32)
             m = p_hi - p_lo
@@ -104,4 +121,5 @@ class ShardedDeviceIndex:
             keys_hi=jnp.asarray(kh), keys_lo=jnp.asarray(kl),
             starts=jnp.asarray(st), counts=jnp.asarray(ct),
             pos_hi=jnp.asarray(ph), pos_lo=jnp.asarray(plo),
+            prefix=jnp.asarray(ptab), prefix_shift=shift, lb_steps=lb_steps,
         )

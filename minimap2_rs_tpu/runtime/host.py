@@ -32,6 +32,8 @@ class _ChainParamsC(ctypes.Structure):
         ("max_drop", ctypes.c_int32),
         ("chn_pen_gap", ctypes.c_float),
         ("chn_pen_skip", ctypes.c_float),
+        ("rmq_rescue_size", ctypes.c_int32),
+        ("rmq_rescue_ratio", ctypes.c_float),
     ]
 
 
@@ -40,6 +42,7 @@ def _params_c(p) -> _ChainParamsC:
         p.max_dist_x, p.max_dist_y, p.bw, p.max_chain_iter,
         p.min_chain_score, p.min_cnt, p.max_chain_skip, p.max_drop,
         p.chn_pen_gap, p.chn_pen_skip,
+        p.rmq_rescue_size, p.rmq_rescue_ratio,
     )
 
 
@@ -83,8 +86,63 @@ def _load():
         ctypes.POINTER(_ChainParamsC), i64p, ctypes.c_int64,
         i64p, i64p, i64p, ctypes.c_int64,
     ]
+    f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+    lib.mm2t_postprocess.restype = ctypes.c_int64
+    lib.mm2t_postprocess.argtypes = [
+        u64p, u64p, ctypes.c_int64,               # ax, ay, n
+        i32p, i32p, i64p,                         # f, v, prev
+        ctypes.POINTER(_ChainParamsC), ctypes.c_int32,  # params, qlen
+        ctypes.c_float, ctypes.c_float, ctypes.c_int64, # mask, pri, best_n
+        i32p, i32p, ctypes.c_int64,               # mini_pos, mini_span, n_mini
+        i32p, ctypes.c_int64,                     # tlens, n_seq
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),  # skip_output, rescue
+        i64p, f64p, ctypes.c_int64,               # out_fields, out_dv, cap
+    ]
     _LIB = lib
     return _LIB
+
+
+def native_postprocess(
+    anchors: np.ndarray, f, v, prev, cp, qlen: int,
+    mask_level: float, pri_ratio: float, best_n: int,
+    mini_pos: np.ndarray, mini_span: np.ndarray, tlens: np.ndarray,
+    skip_output: bool = False,
+):
+    """Full host postprocess for one read: backtrack + merge + select +
+    PAF numeric fields + dv. Returns (records, s1, s2, rescue_flag) where
+    records is an (m, 9) int64 array [qs,qe,ts,te,cm,rid,rev,is_primary,
+    score] with a parallel dv float array — or None when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = anchors.shape[0]
+    rescue = ctypes.c_int32(0)
+    if n == 0:
+        return (np.zeros((0, 9), np.int64), np.zeros(0), 0, 0, False)
+    ax = np.ascontiguousarray(anchors[:, 0], dtype=np.uint64)
+    ay = np.ascontiguousarray(anchors[:, 1], dtype=np.uint64)
+    cap = n + 2
+    out_fields = np.zeros(9 * cap, dtype=np.int64)
+    out_dv = np.zeros(cap, dtype=np.float64)
+    m = lib.mm2t_postprocess(
+        ax, ay, n,
+        np.ascontiguousarray(f, dtype=np.int32),
+        np.ascontiguousarray(v, dtype=np.int32),
+        np.ascontiguousarray(prev, dtype=np.int64),
+        ctypes.byref(_params_c(cp)), qlen,
+        mask_level, pri_ratio, best_n,
+        np.ascontiguousarray(mini_pos, dtype=np.int32),
+        np.ascontiguousarray(mini_span, dtype=np.int32),
+        int(mini_pos.shape[0]),
+        np.ascontiguousarray(tlens, dtype=np.int32), int(tlens.shape[0]),
+        int(skip_output), ctypes.byref(rescue),
+        out_fields, out_dv, cap,
+    )
+    recs = out_fields[: 9 * m].reshape(m, 9)
+    s1 = int(out_fields[9 * m]) if m < cap else 0
+    s2 = int(out_fields[9 * m + 1]) if m < cap else 0
+    return recs, out_dv[:m], s1, s2, bool(rescue.value)
 
 
 def native_available() -> bool:

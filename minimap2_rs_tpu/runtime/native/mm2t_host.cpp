@@ -158,6 +158,8 @@ struct ChainParamsC {
   int32_t max_dist_x, max_dist_y, bw, max_chain_iter, min_chain_score,
       min_cnt, max_chain_skip, max_drop;
   float chn_pen_gap, chn_pen_skip;
+  int32_t rmq_rescue_size;  // lchain.rs:50
+  float rmq_rescue_ratio;   // lchain.rs:51
 };
 
 static inline int32_t qpos_of(uint64_t y) { return (int32_t)(y & 0xffffffff); }
@@ -238,6 +240,19 @@ void mm2t_chain_dp(const uint64_t* ax, const uint64_t* ay, int64_t n,
 // backtracking (lchain.rs:92-176) from (f, v, prev)
 // ---------------------------------------------------------------------
 
+struct Chain {
+  std::vector<int64_t> idx;
+  int32_t score;
+};
+
+// Backtracking core (lchain.rs:92-176): returns chains sorted by
+// (score desc, qstart, tstart).
+static std::vector<Chain> backtrack_chains(const uint64_t* ax,
+                                           const uint64_t* ay, int64_t n,
+                                           const int32_t* f, const int32_t* v,
+                                           const int64_t* prev,
+                                           const ChainParamsC* p);
+
 // Chains are emitted as a flat index list plus (start, len, score) per
 // chain, already sorted by (score desc, qstart, tstart).
 // Returns the number of chains; flat/starts/lens/scores have caller
@@ -248,11 +263,29 @@ int64_t mm2t_backtrack(const uint64_t* ax, const uint64_t* ay, int64_t n,
                        int64_t* flat, int64_t cap_flat, int64_t* starts,
                        int64_t* lens, int64_t* scores, int64_t cap_chains) {
   if (n == 0) return 0;
+  std::vector<Chain> chains = backtrack_chains(ax, ay, n, f, v, prev, p);
+  int64_t n_chains = 0, off = 0;
+  for (const Chain& c : chains) {
+    if (n_chains >= cap_chains || off + (int64_t)c.idx.size() > cap_flat) break;
+    starts[n_chains] = off;
+    lens[n_chains] = (int64_t)c.idx.size();
+    scores[n_chains] = c.score;
+    for (int64_t i : c.idx) flat[off++] = i;
+    ++n_chains;
+  }
+  return n_chains;
+}
+
+static std::vector<Chain> backtrack_chains(const uint64_t* ax,
+                                           const uint64_t* ay, int64_t n,
+                                           const int32_t* f, const int32_t* v,
+                                           const int64_t* prev,
+                                           const ChainParamsC* p) {
   std::vector<std::pair<int32_t, int64_t>> z;
   z.reserve(n);
   for (int64_t i = 0; i < n; ++i)
     if (f[i] > 0) z.emplace_back(f[i], i);
-  if (z.empty()) return 0;
+  if (z.empty()) return {};
   std::stable_sort(z.begin(), z.end(),
                    [](const auto& a, const auto& b) { return a.first < b.first; });
   std::vector<int64_t> t(n, 0);
@@ -284,10 +317,6 @@ int64_t mm2t_backtrack(const uint64_t* ax, const uint64_t* ay, int64_t n,
     return max_i;
   };
 
-  struct Chain {
-    std::vector<int64_t> idx;
-    int32_t score;
-  };
   std::vector<Chain> chains;
   // the reference runs a counting pass then a fill pass with identical
   // logic (lchain.rs:100-160); a single pass is equivalent
@@ -348,17 +377,277 @@ int64_t mm2t_backtrack(const uint64_t* ax, const uint64_t* ay, int64_t n,
     if (qa != qb) return qa < qb;
     return tstart(chains[a]) < tstart(chains[b]);
   });
-  int64_t n_chains = 0, off = 0;
-  for (int64_t oi : ord) {
-    const Chain& c = chains[oi];
-    if (n_chains >= cap_chains || off + (int64_t)c.idx.size() > cap_flat) break;
-    starts[n_chains] = off;
-    lens[n_chains] = (int64_t)c.idx.size();
-    scores[n_chains] = c.score;
-    for (int64_t i : c.idx) flat[off++] = i;
-    ++n_chains;
+  std::vector<Chain> sorted;
+  sorted.reserve(chains.size());
+  for (int64_t oi : ord) sorted.push_back(std::move(chains[oi]));
+  return sorted;
+}
+
+// ---------------------------------------------------------------------
+// full host postprocess: backtrack + merge + select + PAF fields + dv
+// (main.rs:209-218 pipeline tail, paf.rs:130-222)
+// ---------------------------------------------------------------------
+
+static void chain_qrange(const uint64_t* ay, const Chain& c, int32_t* qs,
+                         int32_t* qe) {
+  int32_t s = INT32_MAX, e = -1;
+  for (int64_t i : c.idx) {
+    int32_t a = qpos_of(ay[i]) - (qspan_of(ay[i]) - 1);
+    int32_t b = qpos_of(ay[i]) + 1;
+    if (a < s) s = a;
+    if (b > e) e = b;
   }
-  return n_chains;
+  *qs = s < 0 ? 0 : s;
+  *qe = e;
+}
+
+static void chain_trange(const uint64_t* ax, const uint64_t* ay,
+                         const Chain& c, int32_t* ts, int32_t* te) {
+  int32_t s = INT32_MAX, e = -1;
+  for (int64_t i : c.idx) {
+    int32_t a = rpos_of(ax[i]) - (qspan_of(ay[i]) - 1);
+    int32_t b = rpos_of(ax[i]) + 1;
+    if (a < s) s = a;
+    if (b > e) e = b;
+  }
+  *ts = s < 0 ? 0 : s;
+  *te = e;
+}
+
+// Rust core::slice::binary_search_by on a possibly imperfectly sorted
+// array (the reference calls it on emission-order positions, paf.rs:178).
+static int64_t rust_binary_search(const int32_t* arr, int64_t n,
+                                  int32_t target) {
+  int64_t size = n, left = 0, right = n;
+  while (left < right) {
+    int64_t mid = left + size / 2;
+    int32_t vv = arr[mid];
+    if (vv < target)
+      left = mid + 1;
+    else if (vv > target)
+      right = mid;
+    else
+      return mid;
+    size = right - left;
+  }
+  return -1;
+}
+
+// Per-record output fields (int64): qs,qe,ts,te,cm,rid,strand(0/1),
+// is_primary(0/1),score ; dv in out_dv (double holding the f32 value).
+// Returns record count; sets *rescue_flag (lchain.rs:321-326).
+// If skip_output is nonzero only the rescue flag is computed.
+int64_t mm2t_postprocess(
+    const uint64_t* ax, const uint64_t* ay, int64_t n,
+    const int32_t* f, const int32_t* v, const int64_t* prev,
+    const ChainParamsC* p, int32_t qlen,
+    float mask_level, float pri_ratio, int64_t best_n,
+    const int32_t* mini_pos, const int32_t* mini_span, int64_t n_mini,
+    const int32_t* tlens, int64_t n_seq,
+    int32_t skip_output, int32_t* rescue_flag,
+    int64_t* out_fields, double* out_dv, int64_t max_records) {
+  *rescue_flag = 0;
+  if (n == 0) return 0;
+  std::vector<Chain> chains = backtrack_chains(ax, ay, n, f, v, prev, p);
+  if (chains.empty()) return 0;
+  // rescue decision on the best chain (lchain.rs:321-326)
+  {
+    int32_t qs, qe;
+    chain_qrange(ay, chains[0], &qs, &qe);
+    int32_t cov = qe - qs > 0 ? qe - qs : 0;
+    int32_t uncovered = qlen - cov > 0 ? qlen - cov : 0;
+    if (uncovered > p->rmq_rescue_size ||
+        (float)cov < (float)qlen * (1.0f - p->rmq_rescue_ratio))
+      *rescue_flag = 1;
+  }
+  if (skip_output) return 0;
+
+  // merge_adjacent_chains_with_gap(max_dist_y, max_dist_y) (main.rs:216)
+  {
+    std::vector<std::pair<int32_t, int64_t>> items;
+    items.reserve(chains.size());
+    for (size_t i = 0; i < chains.size(); ++i) {
+      int32_t qs, qe;
+      chain_qrange(ay, chains[i], &qs, &qe);
+      items.emplace_back(qs, (int64_t)i);
+    }
+    std::stable_sort(items.begin(), items.end(),
+                     [](const auto& a, const auto& b) { return a.first < b.first; });
+    std::vector<Chain> merged;
+    std::vector<int32_t> morder;  // original position of each merged head
+    for (auto& it : items) {
+      Chain& ch = chains[it.second];
+      bool did = false;
+      if (!merged.empty()) {
+        Chain& last = merged.back();
+        uint64_t a_last = ax[last.idx.back()];
+        uint64_t a_first = ax[ch.idx.front()];
+        bool same = rid_of(a_last) == rid_of(a_first) &&
+                    rev_of(a_last) == rev_of(a_first);
+        int32_t lqs, lqe, cqs, cqe, lts, lte, cts, cte;
+        chain_qrange(ay, last, &lqs, &lqe);
+        chain_qrange(ay, ch, &cqs, &cqe);
+        chain_trange(ax, ay, last, &lts, &lte);
+        chain_trange(ax, ay, ch, &cts, &cte);
+        int32_t q_gap = cqs - lqe, t_gap = cts - lte;
+        int32_t mg = p->max_dist_y;
+        if (same && q_gap >= 0 && t_gap >= 0 && q_gap <= mg && t_gap <= mg) {
+          last.idx.insert(last.idx.end(), ch.idx.begin(), ch.idx.end());
+          did = true;
+        }
+      }
+      if (!did) merged.push_back(ch);
+    }
+    // reference pairs merged chains with the pre-merge scores by list
+    // position (main.rs:217, sort_chains_stable)
+    for (size_t i = 0; i < merged.size(); ++i) merged[i].score = chains[i].score;
+    (void)morder;
+    chains = std::move(merged);
+  }
+
+  // sort_chains_stable + select_and_filter (lchain.rs:202-260)
+  {
+    std::vector<int64_t> ord(chains.size());
+    for (size_t i = 0; i < ord.size(); ++i) ord[i] = (int64_t)i;
+    auto qstart2 = [&](const Chain& c) {
+      int32_t qs, qe;
+      chain_qrange(ay, c, &qs, &qe);
+      return qs;
+    };
+    auto tstart2 = [&](const Chain& c) {
+      int32_t ts, te;
+      chain_trange(ax, ay, c, &ts, &te);
+      return ts;
+    };
+    std::stable_sort(ord.begin(), ord.end(), [&](int64_t a, int64_t b) {
+      if (chains[a].score != chains[b].score)
+        return chains[a].score > chains[b].score;
+      int32_t qa = qstart2(chains[a]), qb = qstart2(chains[b]);
+      if (qa != qb) return qa < qb;
+      return tstart2(chains[a]) < tstart2(chains[b]);
+    });
+    std::vector<Chain> sorted;
+    sorted.reserve(chains.size());
+    for (int64_t oi : ord) sorted.push_back(std::move(chains[oi]));
+    chains = std::move(sorted);
+  }
+  std::vector<char> is_primary(chains.size(), 1);
+  {
+    std::vector<std::pair<int32_t, int32_t>> primaries;
+    for (size_t ci = 0; ci < chains.size(); ++ci) {
+      int32_t qs, qe;
+      chain_qrange(ay, chains[ci], &qs, &qe);
+      bool overlapped = false;
+      for (auto& pr : primaries) {
+        int32_t ov_i = std::min(qe, pr.second) - std::max(qs, pr.first);
+        float ov = (float)(ov_i > 0 ? ov_i : 0);
+        float len = (float)std::max(qe - qs, 1);
+        if (ov / len >= mask_level) {
+          overlapped = true;
+          break;
+        }
+      }
+      if (overlapped)
+        is_primary[ci] = 0;
+      else
+        primaries.emplace_back(qs, qe);
+    }
+  }
+  std::vector<int64_t> keep;
+  int32_t s1 = chains[0].score, s2 = 0;
+  {
+    int64_t sec_kept = 0;
+    for (size_t i = 0; i < chains.size(); ++i) {
+      if (i == 0) {
+        keep.push_back(0);
+        continue;
+      }
+      if (!is_primary[i]) continue;
+      if ((float)chains[i].score >= pri_ratio * (float)s1) {
+        if (sec_kept < best_n) {
+          keep.push_back((int64_t)i);
+          sec_kept++;
+        }
+      }
+      if (s2 == 0) s2 = chains[i].score;
+    }
+  }
+
+  // dv prep (paf.rs:156-163)
+  float avg_k;
+  {
+    int64_t sum_k = 0;
+    for (int64_t i = 0; i < n_mini; ++i) sum_k += mini_span[i];
+    avg_k = n_mini ? (float)sum_k / (float)n_mini : 0.0f;
+  }
+
+  int64_t n_rec = 0;
+  for (size_t oi = 0; oi < keep.size() && n_rec < max_records; ++oi) {
+    const Chain& c = chains[keep[oi]];
+    if (c.idx.empty()) continue;
+    int strand_rev = rev_of(ax[c.idx.front()]);
+    int32_t qs, qe, ts, te;
+    chain_qrange(ay, c, &qs, &qe);
+    chain_trange(ax, ay, c, &ts, &te);
+    int32_t rid = rid_of(ax[c.idx.front()]);
+    int32_t tlen = (rid >= 0 && rid < n_seq) ? tlens[rid] : 0;
+
+    // dv estimate (paf.rs:156-199) — uses raw emission-order mini_pos
+    float dv = 0.0f;
+    if (n_mini > 0) {
+      int64_t nch = (int64_t)c.idx.size();
+      auto qpos_fwd = [&](int64_t ci) {
+        int64_t i = c.idx[strand_rev ? (nch - 1 - ci) : ci];
+        int32_t qp = qpos_of(ay[i]);
+        int32_t sp = qspan_of(ay[i]);
+        return rev_of(ax[i]) ? (qlen - 1 - (qp + 1 - sp)) : qp;
+      };
+      int32_t first = qpos_fwd(0);
+      int64_t st = rust_binary_search(mini_pos, n_mini, first);
+      if (st >= 0) {
+        while (st > 0 && mini_pos[st - 1] == first) --st;
+        int64_t j = st, en = st, kk = 1;
+        int32_t n_match = 1;
+        while (j + 1 < n_mini && kk < nch) {
+          ++j;
+          if (mini_pos[j] == qpos_fwd(kk)) {
+            ++n_match;
+            en = j;
+            ++kk;
+          }
+        }
+        int32_t n_tot = (int32_t)(en - st) + 1;
+        int32_t r_qs = strand_rev ? qlen - qe : qs;
+        int32_t r_qe = strand_rev ? qlen - qs : qe;
+        if (r_qs > (int32_t)avg_k && ts > (int32_t)avg_k) ++n_tot;
+        if ((qlen - r_qe) > (int32_t)avg_k && (tlen - te) > (int32_t)avg_k)
+          ++n_tot;
+        float frac = (float)n_match / (float)n_tot;
+        float ak = avg_k >= 1.0f ? avg_k : 1.0f;
+        dv = frac >= 1.0f ? 0.0f : 1.0f - powf(frac, 1.0f / ak);
+      }
+    }
+
+    int64_t* o = out_fields + 9 * n_rec;
+    o[0] = qs;
+    o[1] = qe;
+    o[2] = ts;
+    o[3] = te;
+    o[4] = (int64_t)c.idx.size();  // cm
+    o[5] = rid;
+    o[6] = strand_rev;
+    o[7] = (oi == 0) ? 1 : 0;
+    o[8] = c.score;
+    out_dv[n_rec] = (double)dv;
+    ++n_rec;
+  }
+  // stash s1/s2 in the slot after the last record when there is room
+  if (n_rec < max_records) {
+    int64_t* o = out_fields + 9 * n_rec;
+    o[0] = s1 > 0 ? s1 : 0;
+    o[1] = s2 > 0 ? s2 : 0;
+  }
+  return n_rec;
 }
 
 }  // extern "C"
