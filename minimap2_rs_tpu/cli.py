@@ -50,6 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_wk(p)
     p.add_argument("-b", "--bucket-bits", type=int, default=14)
     p.add_argument("-d", "--dump", default=None)
+    p.add_argument("--engine", choices=["auto", "device", "host"], default="auto")
 
     p = sub.add_parser("anchors", help="debug: print anchor stats")
     p.add_argument("ref_fasta")
@@ -79,6 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", dest="output", default=None)
     p.add_argument("--first-only", action="store_true", help="map only the first query record (reference behavior)")
     p.add_argument("--engine", choices=["auto", "device", "host"], default="auto")
+    p.add_argument("--stats", action="store_true", help="print a per-stage timing breakdown to stderr")
+    p.add_argument("--trace-dir", default=None, help="write a jax.profiler trace here")
     return ap
 
 
@@ -88,7 +91,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "index":
         flag = 1 if args.hpc else 0
         records = read_fasta(args.fasta)
-        idx = build_index(records, IndexParams(w=args.w, k=args.k, bucket_bits=args.bucket_bits, flag=flag))
+        params = IndexParams(w=args.w, k=args.k, bucket_bits=args.bucket_bits, flag=flag)
+        engine = args.engine
+        if engine == "auto":
+            engine = _auto_engine()
+        if engine == "device":
+            from .models.index_builder import build_index_device
+
+            idx = build_index_device(records, params)
+        else:
+            idx = build_index(records, params)
         n_keys, avg_occ, avg_spacing, total_len = idx.stats()
         print(f"kmer size: {args.k}; skip: {args.w}; is_hpc: {1 if args.hpc else 0}; #seq: {idx.n_seq}")
         print(
@@ -174,13 +186,24 @@ def main(argv: list[str] | None = None) -> int:
         engine = args.engine
         if engine == "auto":
             engine = _auto_engine()
-        if engine == "device":
-            from .models.mapper import Mapper
+        import time
 
-            mapper = Mapper.from_oracle_index(idx, cp, mp)
-            lines = mapper.map_reads(reads)
-        else:
-            lines = map_reads(idx, reads, cp, mp)
+        from .utils.profiling import device_trace, print_stage_stats
+
+        t0 = time.time()
+        with device_trace(args.trace_dir):
+            if engine == "device":
+                from .models.mapper import Mapper
+
+                mapper = Mapper.from_oracle_index(idx, cp, mp)
+                lines = mapper.map_reads(reads)
+                stats = dict(mapper.stats)
+            else:
+                lines = map_reads(idx, reads, cp, mp)
+                stats = {}
+        if args.stats:
+            total_bp = sum(len(s) for _, s in reads)
+            print_stage_stats(stats, len(reads), total_bp, time.time() - t0)
         if args.output and args.output != "-":
             with open(args.output, "w") as f:
                 for line in lines:

@@ -82,47 +82,123 @@ def _fused_map_stage(
         from ..ops.chain_pallas import chain_dp_batch_pallas as _chain_fn
     else:
         _chain_fn = chain_dp_batch
-    f, v, prev = _chain_fn(
+    f, prev = _chain_fn(
         x_hi, x_lo.astype(I32), y_lo.astype(I32),
         (y_hi & jnp.uint32(0xFF)).astype(I32), scalars, window,
     )
     # Pack every output into ONE uint32 buffer: each device->host transfer
     # call pays tens of ms of fixed latency through the host<->TPU relay,
     # so a single large transfer beats a dozen small ones by ~5x.
-    # The dv estimate only needs minimizer spans + positions, not keys.
+    # The dv estimate only needs minimizer positions (+ spans under HPC;
+    # otherwise every span is exactly k, sketch.rs:63).
     bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
-    packed = jnp.concatenate(
-        [
-            x_hi, x_lo, y_hi, y_lo, bc(f), bc(v), bc(prev),
-            cks.lo & jnp.uint32(0xFF), cps,
-            bc(n_mini)[:, None], bc(n_anchors)[:, None],
-            mini_ovf.astype(jnp.uint32)[:, None],
-            anc_ovf.astype(jnp.uint32)[:, None],
-        ],
-        axis=1,
+    cols = [x_hi, x_lo, y_hi, y_lo, bc(f), bc(prev), cps]
+    if hpc:
+        cols.append(cks.lo & jnp.uint32(0xFF))
+    cols += [
+        bc(n_mini)[:, None], bc(n_anchors)[:, None],
+        mini_ovf.astype(jnp.uint32)[:, None],
+        anc_ovf.astype(jnp.uint32)[:, None],
+    ]
+    return jnp.concatenate(cols, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A", "window",
+        "pallas_chain",
+    ),
+)
+def _fused_map_stage_lite(
+    dev_idx: DeviceIndex,
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    scalars: ChainScalars,
+    mid_occ: jnp.ndarray,
+    tlens: jnp.ndarray,
+    rmq_rescue_size: jnp.ndarray,
+    rmq_rescue_ratio: jnp.ndarray,
+    *,
+    w: int,
+    k: int,
+    hpc: bool,
+    q_occ_max: int,
+    q_occ_frac: float,
+    M: int,
+    A: int,
+    window: int,
+    pallas_chain: bool = False,
+):
+    """Default-parameter fast path: the whole pipeline INCLUDING chain
+    finalization on device; output is (B, 16) int32 PAF fields
+    (ops/finalize_ops.py). Valid when min_cnt >= 2 (the reference
+    backtrack always takes its greedy single-chain fallback) and non-HPC
+    (spans are uniformly k)."""
+    from ..ops.finalize_ops import finalize_chain_batch
+
+    ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
+    cks, cps, n_mini, mini_ovf = compact_minimizers(ks, ps, emitted, M)
+    sks, sps = sort_minimizers_by_key(cks, cps)
+    keep = query_occ_filter(sks, n_mini, q_occ_max, q_occ_frac)
+    x_hi, x_lo, y_hi, y_lo, n_anchors, anc_ovf = build_anchors_device(
+        dev_idx, sks, sps, keep, lengths, mid_occ, A
     )
-    return packed
+    if pallas_chain:
+        from ..ops.chain_pallas import chain_dp_batch_pallas as _chain_fn
+    else:
+        _chain_fn = chain_dp_batch
+    f, prev = _chain_fn(
+        x_hi, x_lo.astype(I32), y_lo.astype(I32),
+        (y_hi & jnp.uint32(0xFF)).astype(I32), scalars, window,
+    )
+    mini_pos = cps >> jnp.uint32(1)  # position-sorted; padding stays max
+    return finalize_chain_batch(
+        x_hi, x_lo, y_hi, y_lo, f, prev, n_anchors,
+        mini_pos, n_mini, lengths, tlens, mini_ovf, anc_ovf,
+        k, rmq_rescue_size, rmq_rescue_ratio,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
-def _packed_chain_stage(x_hi, x_lo, y_hi, y_lo, scalars, *, window: int):
+def _use_pallas_chain() -> bool:
+    """The Pallas chain kernel is the default on real accelerators (~4x
+    the lax.scan formulation, bit-identical); the scan runs on CPU where
+    Pallas would be interpreted. MM2T_NO_PALLAS_CHAIN forces the scan."""
+    import os
+
+    if os.environ.get("MM2T_NO_PALLAS_CHAIN"):
+        return False
+    return jax.default_backend() != "cpu"
+
+
+@functools.partial(jax.jit, static_argnames=("window", "pallas_chain"))
+def _packed_chain_stage(x_hi, x_lo, y_hi, y_lo, scalars, *, window: int,
+                        pallas_chain: bool = False):
     """Chain DP alone (the rescue re-run, lchain.rs:321-330), packed into
-    one transfer buffer [f | v | prev]."""
-    f, v, prev = chain_dp_batch(
+    one transfer buffer [f | prev]."""
+    if pallas_chain:
+        from ..ops.chain_pallas import chain_dp_batch_pallas as _chain_fn
+    else:
+        _chain_fn = chain_dp_batch
+    f, prev = _chain_fn(
         x_hi, x_lo.astype(I32), y_lo.astype(I32),
         (y_hi & jnp.uint32(0xFF)).astype(I32), scalars, window,
     )
     bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
-    return jnp.concatenate([bc(f), bc(v), bc(prev)], axis=1)
+    return jnp.concatenate([bc(f), bc(prev)], axis=1)
 
 
-def _unpack_map_stage(packed: np.ndarray, M: int, A: int) -> dict:
+def _unpack_map_stage(packed: np.ndarray, M: int, A: int, hpc: bool = False) -> dict:
     """Host-side view-unpacking of the fused stage's single buffer."""
     cols = [
         ("x_hi", A, np.uint32), ("x_lo", A, np.uint32),
         ("y_hi", A, np.uint32), ("y_lo", A, np.uint32),
-        ("f", A, np.int32), ("v", A, np.int32), ("prev", A, np.int32),
-        ("mini_span", M, np.uint32), ("cps", M, np.uint32),
+        ("f", A, np.int32), ("prev", A, np.int32),
+        ("cps", M, np.uint32),
+    ]
+    if hpc:
+        cols.append(("mini_span", M, np.uint32))
+    cols += [
         ("n_mini", 1, np.int32), ("n_anchors", 1, np.int32),
         ("mini_ovf", 1, np.uint32), ("anc_ovf", 1, np.uint32),
     ]
@@ -136,6 +212,8 @@ def _unpack_map_stage(packed: np.ndarray, M: int, A: int) -> dict:
         off += width
     out["mini_ovf"] = out["mini_ovf"].astype(bool)
     out["anc_ovf"] = out["anc_ovf"].astype(bool)
+    if not hpc:
+        out["mini_span"] = None
     return out
 
 
@@ -171,21 +249,104 @@ class Mapper:
 
     def _device_stage(self, codes, lengths, M, A, scalars: ChainScalars, window: int):
         """The fused device pipeline for one padded batch."""
-        import os
-
         return _fused_map_stage(
             self.dev_idx, codes, lengths, scalars, jnp.int32(self.mid_occ),
             w=self.idx.w, k=self.idx.k, hpc=bool(self.idx.flag & 1),
             q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
             M=M, A=A, window=window,
-            pallas_chain=bool(os.environ.get("MM2T_PALLAS_CHAIN")),
+            pallas_chain=_use_pallas_chain(),
         )
+
+    def _lite_eligible(self) -> bool:
+        """The on-device finalization path is valid when the reference
+        backtrack necessarily takes its greedy single-chain fallback
+        (min_cnt >= 2; see ops/finalize_ops.py) and spans are uniform
+        (non-HPC). MM2T_NO_LITE forces the general path."""
+        import os
+
+        if os.environ.get("MM2T_NO_LITE"):
+            return False
+        return self.cp.min_cnt >= 2 and not (self.idx.flag & 1)
+
+    def _ensure_meta(self):
+        if not hasattr(self, "_tlens"):
+            self._tlens = np.array([s.length for s in self.idx.seq], dtype=np.int32)
+            self._tnames = [s.name or "*" for s in self.idx.seq]
+
+    def _device_stage_lite(self, codes, lengths, M, A, scalars: ChainScalars, window: int):
+        self._ensure_meta()
+        if not hasattr(self, "_tlens_dev"):
+            self._tlens_dev = jnp.asarray(self._tlens)
+            self._lite_exec = {}
+        # AOT-compile per shape: this environment's jit cache drops
+        # XLA-hoisted constant parameters on repeat calls ("supplied N,
+        # expected N+1 buffers"); ahead-of-time executables own their
+        # constants and marshal correctly.
+        key = (M, A, window, _use_pallas_chain())
+        args = (
+            self.dev_idx, codes, lengths, scalars, jnp.int32(self.mid_occ),
+            self._tlens_dev, jnp.int32(self.cp.rmq_rescue_size),
+            jnp.float32(self.cp.rmq_rescue_ratio),
+        )
+        if key not in self._lite_exec:
+            lowered = _fused_map_stage_lite.lower(
+                *args,
+                w=self.idx.w, k=self.idx.k, hpc=bool(self.idx.flag & 1),
+                q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
+                M=M, A=A, window=window, pallas_chain=key[3],
+            )
+            self._lite_exec[key] = lowered.compile()
+        return self._lite_exec[key](*args)
+
+    def _postprocess_lite(self, reads, chunk, fields, results):
+        """Format PAF lines from the device's (B, 16) field array; route
+        flagged reads (overflow / rescue / empty) to the host pipeline."""
+        from ..ops.finalize_ops import FIELDS
+
+        self._ensure_meta()
+        col = {name: i for i, name in enumerate(FIELDS)}
+        kf = np.float32(max(float(self.idx.k), 1.0))
+        for bi, ri in enumerate(chunk):
+            qname, qseq = reads[ri]
+            row = fields[bi]
+            if row[col["mini_ovf"]] or row[col["anc_ovf"]]:
+                results[ri] = self._host_fallback(reads[ri])
+                continue
+            if row[col["n_anchors"]] == 0:
+                results[ri] = []
+                continue
+            if row[col["rescue"]]:
+                # the wide-band rescue re-run needs the full anchor set
+                results[ri] = self._host_fallback(reads[ri])
+                continue
+            qlen = len(qseq)
+            qs, qe = int(row[col["qs"]]), int(row[col["qe"]])
+            ts, te = int(row[col["ts"]]), int(row[col["te"]])
+            grp = int(row[col["grp"]])
+            rev = (grp >> 31) & 1
+            rid = grp & 0x7FFFFFFF
+            dv = np.float32(0.0)
+            if row[col["dv_found"]]:
+                frac = np.float32(row[col["n_match"]]) / np.float32(row[col["n_tot"]])
+                if frac < np.float32(1.0):
+                    dv = np.float32(1.0) - frac ** (np.float32(1.0) / kf)
+            strand = "-" if rev else "+"
+            wqs, wqe = (qlen - qe, qlen - qs) if rev else (qs, qe)
+            s1 = max(int(row[col["score"]]), 0)
+            results[ri] = [
+                f"{qname}\t{qlen}\t{wqs}\t{wqe}\t{strand}\t"
+                f"{self._tnames[rid]}\t{self._tlens[rid]}\t{ts}\t{te}\t"
+                f"{max(qe - qs, 0)}\t{max(te - ts, 0)}\t{self.mp.mapq}\t"
+                f"tp:A:P\tcm:i:{row[col['cm']]}\ts1:i:{s1}\ts2:i:0\t"
+                f"dv:f:{dv:.4f}\trl:i:0"
+            ]
 
     def _rescue_stage(self, x_hi, x_lo, y_hi, y_lo, window: int):
         p2 = dataclasses.replace(self.cp, bw=self.cp.bw_long)
         scal2 = chain_scalars_from_params(p2)
         return _packed_chain_stage(
-            x_hi, x_lo, y_hi, y_lo, scal2, window=window
+            x_hi, x_lo, y_hi, y_lo, scal2, window=window,
+            pallas_chain=_use_pallas_chain(),
         )
 
     # ------------------------------------------------------------------
@@ -212,6 +373,8 @@ class Mapper:
 
         import time as _time
 
+        lite = self._lite_eligible()
+
         # phase 1: submit every batch to the device (async dispatch) so
         # TPU compute and device->host transfers overlap with the host
         # postprocessing of earlier batches
@@ -227,13 +390,16 @@ class Mapper:
                 # pad the batch dimension to a fixed size so every call
                 # reuses one compiled program per bucket
                 B = self.batch_size
-                codes = np.full((B, bucket), 4, dtype=np.int32)
+                # uint8 on the wire: host->device transfers through the
+                # relay are latency+bandwidth bound
+                codes = np.full((B, bucket), 4, dtype=np.uint8)
                 lengths = np.zeros(B, dtype=np.int32)
                 for bi, ri in enumerate(chunk):
                     s = reads[ri][1]
                     codes[bi, : len(s)] = nt4_encode(s)
                     lengths[bi] = len(s)
-                packed = self._device_stage(
+                stage = self._device_stage_lite if lite else self._device_stage
+                packed = stage(
                     jnp.asarray(codes), jnp.asarray(lengths), M, A, scalars, window
                 )
                 pending.append((chunk, packed, M, A, window))
@@ -243,9 +409,16 @@ class Mapper:
         self._rescue_queue: list = []
         for chunk, packed, M, A, window in pending:
             t1 = _time.time()
-            out = _unpack_map_stage(np.asarray(packed), M, A)
-            t2 = _time.time()
-            self._postprocess(reads, chunk, out, results, window)
+            if lite:
+                fields = np.asarray(packed)
+                t2 = _time.time()
+                self._postprocess_lite(reads, chunk, fields, results)
+            else:
+                out = _unpack_map_stage(
+                    np.asarray(packed), M, A, hpc=bool(self.idx.flag & 1)
+                )
+                t2 = _time.time()
+                self._postprocess(reads, chunk, out, results, window)
             t3 = _time.time()
             self._t("d2h+wait", t2 - t1)
             self._t("post", t3 - t2)
@@ -298,9 +471,12 @@ class Mapper:
             )
             nm = int(out["n_mini"][bi])
             mini_pos = (out["cps"][bi, :nm] >> 1).astype(np.int32)
-            mini_span = out["mini_span"][bi, :nm].astype(np.int32)
+            if out["mini_span"] is None:  # non-HPC: every span is k
+                mini_span = np.full(nm, self.idx.k, dtype=np.int32)
+            else:
+                mini_span = out["mini_span"][bi, :nm].astype(np.int32)
             res = native_postprocess(
-                anchors, out["f"][bi, :n], out["v"][bi, :n],
+                anchors, out["f"][bi, :n], out["f"][bi, :n],
                 out["prev"][bi, :n].astype(np.int64), self.cp, len(qseq),
                 self.mp.mask_level, self.mp.pri_ratio, self.mp.best_n,
                 mini_pos, mini_span, tlens,
@@ -363,13 +539,12 @@ class Mapper:
                 )
             )
             f2 = packed2[:, :A].view(np.int32)
-            v2 = packed2[:, A : 2 * A].view(np.int32)
-            prev2 = packed2[:, 2 * A : 3 * A].view(np.int32)
+            prev2 = packed2[:, A : 2 * A].view(np.int32)
             for bi, (ri, anchors, mini_pos, mini_span) in enumerate(group):
                 n = anchors.shape[0]
                 qname, qseq = reads[ri]
                 res = native_postprocess(
-                    anchors, f2[bi, :n], v2[bi, :n], prev2[bi, :n].astype(np.int64),
+                    anchors, f2[bi, :n], f2[bi, :n], prev2[bi, :n].astype(np.int64),
                     p2, len(qseq),
                     self.mp.mask_level, self.mp.pri_ratio, self.mp.best_n,
                     mini_pos, mini_span, tlens,
@@ -395,9 +570,8 @@ class Mapper:
                 axis=1,
             )
             f = out["f"][bi, :n].astype(np.int64)
-            v = out["v"][bi, :n].astype(np.int64)
             prev = out["prev"][bi, :n].astype(np.int64)
-            chains, scores = self._backtrack(anchors, f, v, prev, self.cp)
+            chains, scores = self._backtrack(anchors, f, None, prev, self.cp)
             mv = self._mv_list(out, bi)
             if not chains:
                 results[ri] = []
@@ -422,14 +596,13 @@ class Mapper:
             )
             A = out["x_hi"].shape[1]
             f2 = packed2[:, :A].view(np.int32)
-            v2 = packed2[:, A : 2 * A].view(np.int32)
-            prev2 = packed2[:, 2 * A : 3 * A].view(np.int32)
+            prev2 = packed2[:, A : 2 * A].view(np.int32)
             p2 = dataclasses.replace(self.cp, bw=self.cp.bw_long)
             for bi in rescue_rows:
                 anchors, _, _, mv = per_row[bi]
                 n = anchors.shape[0]
                 chains, scores = self._backtrack(
-                    anchors, f2[bi, :n].astype(np.int64), v2[bi, :n].astype(np.int64),
+                    anchors, f2[bi, :n].astype(np.int64), None,
                     prev2[bi, :n].astype(np.int64), p2,
                 )
                 per_row[bi] = (anchors, chains, scores, mv)

@@ -30,8 +30,11 @@ import jax.numpy as jnp
 
 I32 = jnp.int32
 F32 = jnp.float32
-_NEG_INF = jnp.int32(-(2**30))
-_LN2 = F32(0.6931472)
+# python literals, NOT jnp arrays: module-level committed jax
+# arrays get lifted as executable inputs and this environment's
+# jit cache mis-marshals them on repeat calls
+_NEG_INF = -(2**30)
+_LN2 = 0.6931472
 
 
 class ChainScalars(NamedTuple):
@@ -46,7 +49,7 @@ class ChainScalars(NamedTuple):
 
 
 def _window_scores(
-    f_w, v_w, grp_w, rpos_w, qpos_w, span_w, j_abs, i,
+    f_w, grp_w, rpos_w, qpos_w, span_w, j_abs, i,
     grp_i, rpos_i, qpos_i, span_i, p: ChainScalars,
 ):
     """comput_sc (lchain.rs:17-34) over a predecessor window, masked."""
@@ -67,7 +70,7 @@ def _window_scores(
     sc = jnp.minimum(span_w, dg)
     lin_pen = p.chn_pen_gap * dd.astype(F32) + p.chn_pen_skip * dg.astype(F32)
     log_pen = jnp.where(
-        dd >= 1, jnp.log((dd + 1).astype(F32)) / _LN2, F32(0.0)
+        dd >= 1, jnp.log((dd + 1).astype(F32)) / F32(_LN2), F32(0.0)
     )
     pen = (lin_pen + F32(0.5) * log_pen).astype(I32)  # f32 truncation
     sc = jnp.where((dd != 0) | (dg > span_w), sc - pen, sc)
@@ -83,23 +86,24 @@ def chain_dp_batch(
     p: ChainScalars,
     window: int,
 ):
-    """Returns (f, v, prev) of shape (B, A) int32."""
+    """Returns (f, prev) of shape (B, A) int32. (The reference's v array
+    is only consumed by the backtrack fallback, where it equals the
+    maximum f along the chain — recomputed host-side.)"""
     B, A = grp.shape
     H = min(window, A)
 
     def one_read(grp_r, rpos_r, qpos_r, span_r):
         def step(carry, i):
-            f, v = carry
+            f = carry
             off = jnp.clip(i - H, 0, A - H)
             j_abs = off + jnp.arange(H, dtype=I32)
             f_w = jax.lax.dynamic_slice(f, (off,), (H,))
-            v_w = jax.lax.dynamic_slice(v, (off,), (H,))
             grp_w = jax.lax.dynamic_slice(grp_r, (off,), (H,))
             rpos_w = jax.lax.dynamic_slice(rpos_r, (off,), (H,))
             qpos_w = jax.lax.dynamic_slice(qpos_r, (off,), (H,))
             span_w = jax.lax.dynamic_slice(span_r, (off,), (H,))
             scores = _window_scores(
-                f_w, v_w, grp_w, rpos_w, qpos_w, span_w, j_abs, i,
+                f_w, grp_w, rpos_w, qpos_w, span_w, j_abs, i,
                 grp_r[i], rpos_r[i], qpos_r[i], span_r[i], p,
             )
             # ties pick the largest j (the reference scans j descending and
@@ -111,16 +115,12 @@ def chain_dp_batch(
             win = best > span_r[i]
             f_i = jnp.where(win, best, span_r[i])
             prev_i = jnp.where(win, j_best, -1)
-            v_best = v_w[H - 1 - a_rev]
-            v_i = jnp.where(win & (v_best > f_i), v_best, f_i)
             f = f.at[i].set(f_i)
-            v = v.at[i].set(v_i)
-            return (f, v), prev_i
+            return f, (f_i, prev_i)
 
         f0 = jnp.zeros(A, dtype=I32)
-        v0 = jnp.zeros(A, dtype=I32)
-        (f, v), prev = jax.lax.scan(step, (f0, v0), jnp.arange(A, dtype=I32))
-        return f, v, prev
+        f, (fs, prev) = jax.lax.scan(step, f0, jnp.arange(A, dtype=I32))
+        return f, prev
 
     return jax.vmap(one_read)(
         grp, rpos.astype(I32), qpos.astype(I32), span.astype(I32)

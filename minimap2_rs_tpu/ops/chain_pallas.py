@@ -6,14 +6,22 @@ lives in VMEM for the duration of the sequential anchor loop: anchors,
 f and v never round-trip to HBM between steps, and each step is a single
 fused block of (H, B) int32 VPU ops.
 
-Layout: arrays are transposed to (A, B) so step i reads/writes row i and
-the predecessor window is a contiguous (H, B) row block — sublane-major
-access instead of strided column gathers. The batch dimension provides
-the vector parallelism (a TPU core runs one program at a time, so
-read-per-program grids would serialize).
+Layout: arrays are transposed to (A, B) so step i touches row blocks —
+sublane-major access instead of strided column gathers. Mosaic requires
+dynamic row offsets to be multiples of 8, so:
+- anchor row i is read from its aligned 8-row block with a one-hot
+  row-select reduction;
+- f/v/prev row writes go through an aligned read-modify-write of the
+  same 8-row block;
+- when the window spans the whole array (the common short-read case,
+  window == A) the predecessor block is the full array — no dynamic
+  slicing at all; otherwise the window is widened by 8 and re-masked.
 
-VMEM budget: 7 arrays of (A, B) int32 + the (H, B) step block; for
-B=256, A=768 that is ~5.5 MB of the ~16 MB core VMEM.
+The batch dimension provides the vector parallelism (a TPU core runs one
+program at a time, so read-per-program grids would serialize).
+
+VMEM budget: 7 arrays of (A, B) int32 + the step blocks; for B=256,
+A=512 that is ~3.7 MB of the ~16 MB core VMEM.
 """
 
 from __future__ import annotations
@@ -28,19 +36,21 @@ from jax.experimental.pallas import tpu as pltpu
 I32 = jnp.int32
 F32 = jnp.float32
 _NEG_INF = -(2**30)
-_LN2 = float(__import__("numpy").float32(0.6931472))
+_INV_LN2 = 1.4426950216293335  # 1/ln(2) rounded through f32
 
 
 def _chain_kernel(
     scal_ref,  # SMEM (3,) i32: mdx, mdy, bw
     pen_ref,   # SMEM (2,) f32: chn_pen_gap, chn_pen_skip
     grp_ref, rpos_ref, qpos_ref, span_ref,  # VMEM (A, B) i32
-    f_ref, v_ref, prev_ref,  # VMEM outputs (A, B) i32
+    f_ref, prev_ref,  # VMEM outputs (A, B) i32
     *,
     A: int,
     H: int,
 ):
     B = grp_ref.shape[1]
+    full_window = H >= A
+    Hpad = A if full_window else H + 8
     mdx = scal_ref[0]
     mdy = scal_ref[1]
     bw = scal_ref[2]
@@ -48,25 +58,40 @@ def _chain_kernel(
     pen_skip = pen_ref[1]
 
     f_ref[...] = jnp.zeros((A, B), I32)
-    v_ref[...] = jnp.zeros((A, B), I32)
     prev_ref[...] = jnp.full((A, B), -1, I32)
 
-    row = jax.lax.broadcasted_iota(I32, (H, B), 0)
+    row = jax.lax.broadcasted_iota(I32, (Hpad, B), 0)
+    row8 = jax.lax.broadcasted_iota(I32, (8, B), 0)
+
+    def read_row(ref, i8, sel):
+        """ref[i8 + r, :] where sel is the one-hot (8, B) row mask."""
+        blk = ref[pl.ds(i8, 8), :]
+        return jnp.sum(jnp.where(sel, blk, 0), axis=0)
 
     def step(i, _):
-        off = jnp.clip(i - H, 0, A - H)
+        i8 = pl.multiple_of((i >> 3) << 3, 8)
+        sel = row8 == (i - i8)
+        if full_window:
+            off = 0
+            grp_w = grp_ref[...]
+            rpos_w = rpos_ref[...]
+            qpos_w = qpos_ref[...]
+            span_w = span_ref[...]
+            f_w = f_ref[...]
+        else:
+            off = jnp.clip(((i - H) >> 3) << 3, 0, A - Hpad)
+            off = pl.multiple_of(off, 8)
+            grp_w = grp_ref[pl.ds(off, Hpad), :]
+            rpos_w = rpos_ref[pl.ds(off, Hpad), :]
+            qpos_w = qpos_ref[pl.ds(off, Hpad), :]
+            span_w = span_ref[pl.ds(off, Hpad), :]
+            f_w = f_ref[pl.ds(off, Hpad), :]
         j_abs = row + off
-        grp_w = grp_ref[pl.ds(off, H), :]
-        rpos_w = rpos_ref[pl.ds(off, H), :]
-        qpos_w = qpos_ref[pl.ds(off, H), :]
-        span_w = span_ref[pl.ds(off, H), :]
-        f_w = f_ref[pl.ds(off, H), :]
-        v_w = v_ref[pl.ds(off, H), :]
 
-        grp_i = grp_ref[i, :][None, :]
-        rpos_i = rpos_ref[i, :][None, :]
-        qpos_i = qpos_ref[i, :][None, :]
-        span_i = span_ref[i, :][None, :]
+        grp_i = read_row(grp_ref, i8, sel)[None, :]
+        rpos_i = read_row(rpos_ref, i8, sel)[None, :]
+        qpos_i = read_row(qpos_ref, i8, sel)[None, :]
+        span_i = read_row(span_ref, i8, sel)[None, :]
 
         dq = qpos_i - qpos_w
         dr = rpos_i - rpos_w
@@ -74,6 +99,7 @@ def _chain_kernel(
         dg = jnp.minimum(dr, dq)
         ok = (
             (j_abs < i)
+            & (j_abs >= i - H)
             & (grp_w == grp_i)
             & (dq > 0)
             & (dq <= mdx)
@@ -84,7 +110,7 @@ def _chain_kernel(
         )
         sc = jnp.minimum(span_w, dg)
         lin = pen_gap * dd.astype(F32) + pen_skip * dg.astype(F32)
-        logp = jnp.where(dd >= 1, jnp.log((dd + 1).astype(F32)) * F32(1.0 / _LN2), F32(0.0))
+        logp = jnp.where(dd >= 1, jnp.log((dd + 1).astype(F32)) * F32(_INV_LN2), F32(0.0))
         pen = (lin + F32(0.5) * logp).astype(I32)
         sc = jnp.where((dd != 0) | (dg > span_w), sc - pen, sc)
         scores = jnp.where(ok, sc + f_w, _NEG_INF)
@@ -97,14 +123,11 @@ def _chain_kernel(
         win = best[0] > span_i[0]
         f_i = jnp.where(win, best[0], span_i[0])
         prev_i = jnp.where(win, j_best, -1)
-        v_best = jnp.max(
-            jnp.where(is_best & (j_abs == j_best[None, :]), v_w, _NEG_INF), axis=0
-        )
-        v_i = jnp.where(win & (v_best > f_i), v_best, f_i)
 
-        f_ref[i, :] = f_i
-        v_ref[i, :] = v_i
-        prev_ref[i, :] = prev_i
+        # aligned read-modify-write of the 8-row block holding row i
+        for ref, val in ((f_ref, f_i), (prev_ref, prev_i)):
+            blk = ref[pl.ds(i8, 8), :]
+            ref[pl.ds(i8, 8), :] = jnp.where(sel, val[None, :], blk)
         return 0
 
     jax.lax.fori_loop(0, A, step, 0, unroll=False)
@@ -112,10 +135,11 @@ def _chain_kernel(
 
 @functools.partial(jax.jit, static_argnames=("window",))
 def chain_dp_batch_pallas(grp, rpos, qpos, span, scalars, window: int):
-    """Drop-in replacement for chain_ops.chain_dp_batch (same outputs,
-    shape (B, A))."""
+    """Drop-in replacement for chain_ops.chain_dp_batch: (f, prev) of
+    shape (B, A)."""
     B, A = grp.shape
     H = min(window, A)
+    assert A % 8 == 0, "anchor capacity must be sublane-aligned"
     scal = jnp.stack(
         [
             scalars.max_dist_x.astype(I32),
@@ -126,11 +150,10 @@ def chain_dp_batch_pallas(grp, rpos, qpos, span, scalars, window: int):
     pens = jnp.stack([scalars.chn_pen_gap, scalars.chn_pen_skip]).astype(F32)
     grp_t = jax.lax.bitcast_convert_type(grp, I32).T
     kernel = functools.partial(_chain_kernel, A=A, H=H)
-    f, v, prev = pl.pallas_call(
+    f, prev = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
         out_shape=(
-            jax.ShapeDtypeStruct((A, B), I32),
             jax.ShapeDtypeStruct((A, B), I32),
             jax.ShapeDtypeStruct((A, B), I32),
         ),
@@ -145,7 +168,6 @@ def chain_dp_batch_pallas(grp, rpos, qpos, span, scalars, window: int):
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
     )(scal, pens, grp_t, rpos.astype(I32).T, qpos.astype(I32).T, span.astype(I32).T)
-    return f.T, v.T, prev.T
+    return f.T, prev.T

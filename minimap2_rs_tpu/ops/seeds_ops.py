@@ -21,7 +21,7 @@ from .u64 import U64Pair
 
 I32 = jnp.int32
 U32 = jnp.uint32
-INVALID_XHI = U32(0xFFFFFFFF)
+INVALID_XHI = 0xFFFFFFFF  # python literal (see chain_ops note)
 
 
 def _upper_bound_rows(sorted_rows: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
@@ -157,12 +157,17 @@ def build_anchors_device(
     y_lo = jnp.where(forward, y_lo_fwd, y_lo_rev)
     y_hi = span
 
-    x_hi = jnp.where(valid, x_hi, INVALID_XHI)
+    x_hi = jnp.where(valid, x_hi, U32(INVALID_XHI))
     x_lo = jnp.where(valid, x_lo, U32(0xFFFFFFFF))
-    y_hi = jnp.where(valid, y_hi, U32(0xFFFFFFFF))
-    y_lo = jnp.where(valid, y_lo, U32(0xFFFFFFFF))
+    # pack (span, qpos') into one sort key: qpos' < 2^24 always (reads are
+    # bucketed to <= 65536 bases), so span<<24 | qpos' preserves the
+    # reference's (y_hi, y_lo) lexicographic order with one fewer operand
+    y_packed = (y_hi << U32(24)) | y_lo
+    y_packed = jnp.where(valid, y_packed, U32(0xFFFFFFFF))
 
-    x_hi, x_lo, y_hi, y_lo = jax.lax.sort(
-        (x_hi, x_lo, y_hi, y_lo), dimension=-1, num_keys=4
+    x_hi, x_lo, y_packed = jax.lax.sort(
+        (x_hi, x_lo, y_packed), dimension=-1, num_keys=3
     )
+    y_hi = jnp.where(x_hi != U32(INVALID_XHI), y_packed >> U32(24), U32(0xFFFFFFFF))
+    y_lo = jnp.where(x_hi != U32(INVALID_XHI), y_packed & U32(0xFFFFFF), U32(0xFFFFFFFF))
     return x_hi, x_lo, y_hi, y_lo, n_anchors, total > max_anchors

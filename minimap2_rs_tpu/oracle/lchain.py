@@ -135,7 +135,11 @@ def chain_dp_scores(anchors: np.ndarray, p: ChainParams):
 
 def backtrack(anchors: np.ndarray, f, v, prev, p: ChainParams):
     """Two-pass backtracking + greedy fallback (lchain.rs:92-176).
-    Returns (chains, scores) sorted by (score desc, qstart, tstart)."""
+    Returns (chains, scores) sorted by (score desc, qstart, tstart).
+
+    v may be None: it is only read by the greedy fallback, where
+    v[best_i] equals the maximum f along the backtracked path
+    (lchain.rs:90) and is recomputed from f/prev."""
     n = anchors.shape[0]
     if n == 0:
         return [], []
@@ -210,9 +214,11 @@ def backtrack(anchors: np.ndarray, f, v, prev, p: ChainParams):
             idxs.reverse()
             chains.append(idxs)
             scores.append(sc)
-    # fallback: single greedy best chain (lchain.rs:161-173)
+    # fallback: single greedy best chain (lchain.rs:161-173). Rust's
+    # max_by_key returns the LAST maximal element on ties.
     if not chains:
-        best_i = int(np.argmax(f))
+        frev = np.asarray(f)[::-1]
+        best_i = n - 1 - int(np.argmax(frev))
         idxs = []
         i = best_i
         while i >= 0:
@@ -221,7 +227,8 @@ def backtrack(anchors: np.ndarray, f, v, prev, p: ChainParams):
         idxs.reverse()
         if idxs:
             chains.append(idxs)
-            scores.append(int(v[best_i]))
+            score = int(v[best_i]) if v is not None else int(max(f[j] for j in idxs))
+            scores.append(score)
     return sort_chains_stable(anchors, chains, scores)
 
 

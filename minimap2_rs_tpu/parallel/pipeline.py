@@ -52,11 +52,11 @@ def _local_map_core(dev_idx: DeviceIndex, codes, lengths, scalars, mid_occ,
 
 
 def _chain(out, scalars, window):
-    f, v, prev = chain_dp_batch(
+    f, prev = chain_dp_batch(
         out["x_hi"], out["x_lo"].astype(I32), out["y_lo"].astype(I32),
         (out["y_hi"] & U32(0xFF)).astype(I32), scalars, window,
     )
-    out.update(f=f, v=v, prev=prev)
+    out.update(f=f, prev=prev)
     return out
 
 

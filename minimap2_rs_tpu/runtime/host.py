@@ -203,10 +203,13 @@ def native_chain_dp(anchors: np.ndarray, p):
 
 
 def native_backtrack(anchors: np.ndarray, f, v, prev, p):
-    """Backtracking + chain assembly; returns (chains, scores) or None."""
+    """Backtracking + chain assembly; returns (chains, scores) or None.
+    v may be None (it is recomputed from f along the fallback path)."""
     lib = _load()
     if lib is None:
         return None
+    if v is None:
+        v = f  # placeholder; the native side no longer reads it
     n = anchors.shape[0]
     if n == 0:
         return [], []

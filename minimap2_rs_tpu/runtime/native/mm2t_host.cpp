@@ -338,18 +338,22 @@ static std::vector<Chain> backtrack_chains(const uint64_t* ax,
     }
   }
   if (chains.empty()) {
-    // greedy fallback (lchain.rs:161-173)
+    // greedy fallback (lchain.rs:161-173); Rust's max_by_key returns the
+    // LAST maximal element on ties, and v[best] == max f along the path
+    // (lchain.rs:90), so v is not needed at all.
     int64_t best_i = 0;
     for (int64_t i = 1; i < n; ++i)
-      if (f[i] > f[best_i]) best_i = i;
+      if (f[i] >= f[best_i]) best_i = i;
     std::vector<int64_t> idxs;
+    int32_t vmax = INT32_MIN;
     int64_t i = best_i;
     while (i >= 0) {
       idxs.push_back(i);
+      if (f[i] > vmax) vmax = f[i];
       i = prev[i];
     }
     std::reverse(idxs.begin(), idxs.end());
-    if (!idxs.empty()) chains.push_back({std::move(idxs), v[best_i]});
+    if (!idxs.empty()) chains.push_back({std::move(idxs), vmax});
   }
   // stable sort by (score desc, qstart, tstart) (lchain.rs:202-218)
   auto qstart = [&](const Chain& c) {

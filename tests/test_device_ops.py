@@ -179,14 +179,13 @@ def test_device_chain_dp_matches_oracle(device_setup):
         qpos[b, :n] = (anchors[:, 1] & np.uint64(0x7FFFFFFF)).astype(np.int32)
         span[b, :n] = ((anchors[:, 1] >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int32)
         oracle_fvp.append((n, *chain_dp_scores(anchors, cp)))
-    f, v, prev = chain_dp_batch(
+    f, prev = chain_dp_batch(
         jnp.asarray(grp), jnp.asarray(rpos), jnp.asarray(qpos), jnp.asarray(span),
         scal, A,
     )
-    f, v, prev = np.asarray(f), np.asarray(v), np.asarray(prev)
+    f, prev = np.asarray(f), np.asarray(prev)
     for b, (n, fo, vo, po) in enumerate(oracle_fvp):
         np.testing.assert_array_equal(f[b, :n], fo)
-        np.testing.assert_array_equal(v[b, :n], vo)
         np.testing.assert_array_equal(prev[b, :n], po)
 
 
@@ -218,8 +217,7 @@ def test_pallas_chain_matches_scan(device_setup):
         qpos[b, :n] = (anchors[:, 1] & np.uint64(0x7FFFFFFF)).astype(np.int32)
         span[b, :n] = ((anchors[:, 1] >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int32)
     args = (jnp.asarray(grp), jnp.asarray(rpos), jnp.asarray(qpos), jnp.asarray(span))
-    f1, v1, p1 = chain_dp_batch(*args, scal, A)
-    f2, v2, p2 = chain_dp_batch_pallas(*args, scal, A)
+    f1, p1 = chain_dp_batch(*args, scal, A)
+    f2, p2 = chain_dp_batch_pallas(*args, scal, A)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
-    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))

@@ -58,3 +58,20 @@ def test_device_rev_strand_parity(setup):
     host = map_reads(idx, rl, cp, mp)
     assert dev == host
     assert dev and dev[0].split("\t")[4] == "-"
+
+
+def test_lite_and_general_paths_agree(setup, monkeypatch):
+    """The on-device finalization (lite) path and the general path must
+    produce identical PAF output."""
+    genome, idx, cp, mp, mapper = setup
+    reads = simulate_reads(genome, 8, read_len=(150, 450), seed=17)
+    rl = [(n, s) for n, s, *_ in reads]
+    assert mapper._lite_eligible()
+    lite = mapper.map_reads(rl)
+    monkeypatch.setenv("MM2T_NO_LITE", "1")
+    mapper2 = Mapper.from_oracle_index(
+        idx, cp, mp, buckets=(256, 512), batch_size=8, mini_frac=0.6, anchor_frac=1.0
+    )
+    assert not mapper2._lite_eligible()
+    general = mapper2.map_reads(rl)
+    assert lite == general
