@@ -18,9 +18,9 @@ import time
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reads", type=int, default=2000)
+    ap.add_argument("--reads", type=int, default=16384)
     ap.add_argument("--genome-mb", type=float, default=5.0)
-    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -52,8 +52,8 @@ def main() -> int:
     mp = MapParams()
     mapper = Mapper.from_oracle_index(idx, cp, mp, batch_size=args.batch_size)
 
-    # warmup: compile + cache
-    warm = rl[: min(64, len(rl))]
+    # warmup: compile + cache (full batch shape)
+    warm = rl[: min(args.batch_size, len(rl))]
     t0 = time.time()
     mapper.map_reads(warm)
     log(f"warmup (compile): {time.time()-t0:.1f}s")

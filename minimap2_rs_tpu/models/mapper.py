@@ -385,11 +385,15 @@ class Mapper:
             M = max(128, -(-int(bucket * self.mini_frac) // 128) * 128)
             A = max(128, -(-int(bucket * self.anchor_frac) // 128) * 128)
             window = min(self.cp.max_chain_iter, A)
-            for c0 in range(0, len(idxs), self.batch_size):
-                chunk = idxs[c0 : c0 + self.batch_size]
+            # scale the batch down for long buckets: per-batch work grows
+            # with bucket length and the chain kernel's VMEM footprint is
+            # ~6 * A * B * 4 bytes
+            bucket_B = max(8, self.batch_size * self.buckets[0] // bucket)
+            for c0 in range(0, len(idxs), bucket_B):
+                chunk = idxs[c0 : c0 + bucket_B]
                 # pad the batch dimension to a fixed size so every call
                 # reuses one compiled program per bucket
-                B = self.batch_size
+                B = bucket_B
                 # uint8 on the wire: host->device transfers through the
                 # relay are latency+bandwidth bound
                 codes = np.full((B, bucket), 4, dtype=np.uint8)

