@@ -31,8 +31,7 @@ from ..config import ChainParams, MapParams
 from ..oracle.index import OracleIndex
 from ..oracle import lchain as olchain
 from ..oracle import pipeline as opipeline
-from ..oracle.paf import write_paf, paf_from_chain, write_paf_many_with_scores
-from ..ops import u64
+from ..oracle.paf import write_paf_many_with_scores
 from ..ops.chain_ops import ChainScalars, chain_dp_batch, chain_scalars_from_params
 from ..ops.index_ops import DeviceIndex
 from ..ops.seeds_ops import build_anchors_device, query_occ_filter, sort_minimizers_by_key
@@ -132,10 +131,11 @@ def _fused_map_stage_lite(
 ):
     """Default-parameter fast path: the whole pipeline INCLUDING chain
     finalization on device; output is (B, 16) int32 PAF fields
-    (ops/finalize_ops.py). Valid when min_cnt >= 2 (the reference
-    backtrack always takes its greedy single-chain fallback) and non-HPC
-    (spans are uniformly k)."""
-    from ..ops.finalize_ops import finalize_chain_batch
+    (ops/finalize_ops.py). The chain kernel accumulates per-chain
+    statistics along the prev path, so no backtracking exists anywhere.
+    Valid when min_cnt >= 2 (the reference backtrack always takes its
+    greedy single-chain fallback) and non-HPC (spans are uniformly k)."""
+    from ..ops.finalize_ops import finalize_from_aux
 
     ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
     cks, cps, n_mini, mini_ovf = compact_minimizers(ks, ps, emitted, M)
@@ -144,17 +144,17 @@ def _fused_map_stage_lite(
     x_hi, x_lo, y_hi, y_lo, n_anchors, anc_ovf = build_anchors_device(
         dev_idx, sks, sps, keep, lengths, mid_occ, A
     )
+    mini_pos = cps >> jnp.uint32(1)  # position-sorted; padding stays max
     if pallas_chain:
-        from ..ops.chain_pallas import chain_dp_batch_pallas as _chain_fn
+        from ..ops.chain_pallas import chain_dp_aux_batch_pallas as _chain_fn
     else:
-        _chain_fn = chain_dp_batch
-    f, prev = _chain_fn(
+        from ..ops.chain_ops import chain_dp_aux_batch as _chain_fn
+    f, cnt, sq, sr = _chain_fn(
         x_hi, x_lo.astype(I32), y_lo.astype(I32),
         (y_hi & jnp.uint32(0xFF)).astype(I32), scalars, window,
     )
-    mini_pos = cps >> jnp.uint32(1)  # position-sorted; padding stays max
-    return finalize_chain_batch(
-        x_hi, x_lo, y_hi, y_lo, f, prev, n_anchors,
+    return finalize_from_aux(
+        f, cnt, sq, sr, x_hi, x_lo, y_lo, n_anchors,
         mini_pos, n_mini, lengths, tlens, mini_ovf, anc_ovf,
         k, rmq_rescue_size, rmq_rescue_ratio,
     )

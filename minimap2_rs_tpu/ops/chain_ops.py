@@ -137,3 +137,69 @@ def chain_scalars_from_params(p) -> ChainScalars:
         chn_pen_gap=jnp.float32(p.chn_pen_gap),
         chn_pen_skip=jnp.float32(p.chn_pen_skip),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def chain_dp_aux_batch(
+    grp: jnp.ndarray,   # (B, A) uint32 rev<<31|rid (padding 0xFFFFFFFF)
+    rpos: jnp.ndarray,  # (B, A) int32
+    qpos: jnp.ndarray,  # (B, A) int32
+    span: jnp.ndarray,  # (B, A) int32
+    p: ChainScalars,
+    window: int,
+):
+    """Chain DP that additionally accumulates per-chain statistics along
+    the prev path, so the default-parameter fast path never backtracks
+    (ops/finalize_ops.py):
+
+      cnt    = chain length (the PAF cm field; also the dv n_match,
+               because every chain anchor's query-forward position is a
+               member of the minimizer stream by construction and chains
+               have strictly increasing query positions)
+      sq, sr = chain-start query/target positions
+
+    Returns (f, cnt, sq, sr), each (B, A) int32."""
+    B, A = grp.shape
+    H = min(window, A)
+
+    def one_read(grp_r, rpos_r, qpos_r, span_r):
+        def step(carry, i):
+            f, cnt, sq, sr = carry
+            off = jnp.clip(i - H, 0, A - H)
+            j_abs = off + jnp.arange(H, dtype=I32)
+            f_w = jax.lax.dynamic_slice(f, (off,), (H,))
+            grp_w = jax.lax.dynamic_slice(grp_r, (off,), (H,))
+            rpos_w = jax.lax.dynamic_slice(rpos_r, (off,), (H,))
+            qpos_w = jax.lax.dynamic_slice(qpos_r, (off,), (H,))
+            span_w = jax.lax.dynamic_slice(span_r, (off,), (H,))
+            scores = _window_scores(
+                f_w, grp_w, rpos_w, qpos_w, span_w, j_abs, i,
+                grp_r[i], rpos_r[i], qpos_r[i], span_r[i], p,
+            )
+            rev_scores = scores[::-1]
+            a_rev = jnp.argmax(rev_scores)
+            best = rev_scores[a_rev]
+            jb_rel = H - 1 - a_rev
+            win = best > span_r[i]
+            f_i = jnp.where(win, best, span_r[i])
+            cnt_w = jax.lax.dynamic_slice(cnt, (off,), (H,))
+            sq_w = jax.lax.dynamic_slice(sq, (off,), (H,))
+            sr_w = jax.lax.dynamic_slice(sr, (off,), (H,))
+            cnt_i = jnp.where(win, cnt_w[jb_rel] + 1, 1)
+            sq_i = jnp.where(win, sq_w[jb_rel], qpos_r[i])
+            sr_i = jnp.where(win, sr_w[jb_rel], rpos_r[i])
+            f = f.at[i].set(f_i)
+            cnt = cnt.at[i].set(cnt_i)
+            sq = sq.at[i].set(sq_i)
+            sr = sr.at[i].set(sr_i)
+            return (f, cnt, sq, sr), None
+
+        z = jnp.zeros(A, dtype=I32)
+        (f, cnt, sq, sr), _ = jax.lax.scan(
+            step, (z, z, z, z), jnp.arange(A, dtype=I32)
+        )
+        return f, cnt, sq, sr
+
+    return jax.vmap(one_read)(
+        grp, rpos.astype(I32), qpos.astype(I32), span.astype(I32)
+    )

@@ -171,3 +171,126 @@ def chain_dp_batch_pallas(grp, rpos, qpos, span, scalars, window: int):
         ),
     )(scal, pens, grp_t, rpos.astype(I32).T, qpos.astype(I32).T, span.astype(I32).T)
     return f.T, prev.T
+
+
+def _chain_aux_kernel(
+    scal_ref, pen_ref,
+    grp_ref, rpos_ref, qpos_ref, span_ref,  # VMEM (A, B) i32
+    f_ref, cnt_ref, sq_ref, sr_ref,  # VMEM outputs (A, B) i32
+    *,
+    A: int,
+    H: int,
+):
+    """chain_dp_aux_batch as a VMEM-resident kernel (see chain_ops)."""
+    B = grp_ref.shape[1]
+    full_window = H >= A
+    Hpad = A if full_window else H + 8
+    mdx = scal_ref[0]
+    mdy = scal_ref[1]
+    bw = scal_ref[2]
+    pen_gap = pen_ref[0]
+    pen_skip = pen_ref[1]
+
+    for ref in (f_ref, cnt_ref, sq_ref, sr_ref):
+        ref[...] = jnp.zeros((A, B), I32)
+
+    row = jax.lax.broadcasted_iota(I32, (Hpad, B), 0)
+    row8 = jax.lax.broadcasted_iota(I32, (8, B), 0)
+
+    def read_row(ref, i8, sel):
+        blk = ref[pl.ds(i8, 8), :]
+        return jnp.sum(jnp.where(sel, blk, 0), axis=0)
+
+    def step(i, _):
+        i8 = pl.multiple_of((i >> 3) << 3, 8)
+        sel = row8 == (i - i8)
+        if full_window:
+            off = 0
+            sl = lambda ref: ref[...]
+        else:
+            off = jnp.clip(((i - H) >> 3) << 3, 0, A - Hpad)
+            off = pl.multiple_of(off, 8)
+            sl = lambda ref: ref[pl.ds(off, Hpad), :]
+        grp_w, rpos_w, qpos_w, span_w = sl(grp_ref), sl(rpos_ref), sl(qpos_ref), sl(span_ref)
+        f_w = sl(f_ref)
+        j_abs = row + off
+
+        grp_i = read_row(grp_ref, i8, sel)[None, :]
+        rpos_i = read_row(rpos_ref, i8, sel)[None, :]
+        qpos_i = read_row(qpos_ref, i8, sel)[None, :]
+        span_i = read_row(span_ref, i8, sel)[None, :]
+
+        dq = qpos_i - qpos_w
+        dr = rpos_i - rpos_w
+        dd = jnp.abs(dr - dq)
+        dg = jnp.minimum(dr, dq)
+        ok = (
+            (j_abs < i)
+            & (j_abs >= i - H)
+            & (grp_w == grp_i)
+            & (dq > 0)
+            & (dq <= mdx)
+            & (dq <= mdy)
+            & (dr != 0)
+            & (dr <= mdx)
+            & (dd <= bw)
+        )
+        sc = jnp.minimum(span_w, dg)
+        lin = pen_gap * dd.astype(F32) + pen_skip * dg.astype(F32)
+        logp = jnp.where(dd >= 1, jnp.log((dd + 1).astype(F32)) * F32(_INV_LN2), F32(0.0))
+        pen = (lin + F32(0.5) * logp).astype(I32)
+        sc = jnp.where((dd != 0) | (dg > span_w), sc - pen, sc)
+        scores = jnp.where(ok, sc + f_w, _NEG_INF)
+
+        best = jnp.max(scores, axis=0)[None, :]
+        is_best = scores == best
+        j_best = jnp.max(jnp.where(is_best, j_abs, -1), axis=0)
+        pick = is_best & (j_abs == j_best[None, :])
+        win = best[0] > span_i[0]
+        f_i = jnp.where(win, best[0], span_i[0])
+
+        def at_best(ref):
+            return jnp.max(jnp.where(pick, sl(ref), _NEG_INF), axis=0)
+
+        cnt_i = jnp.where(win, at_best(cnt_ref) + 1, 1)
+        sq_i = jnp.where(win, at_best(sq_ref), qpos_i[0])
+        sr_i = jnp.where(win, at_best(sr_ref), rpos_i[0])
+
+        for ref, val in (
+            (f_ref, f_i), (cnt_ref, cnt_i), (sq_ref, sq_i), (sr_ref, sr_i),
+        ):
+            blk = ref[pl.ds(i8, 8), :]
+            ref[pl.ds(i8, 8), :] = jnp.where(sel, val[None, :], blk)
+        return 0
+
+    jax.lax.fori_loop(0, A, step, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def chain_dp_aux_batch_pallas(grp, rpos, qpos, span, scalars, window: int):
+    """Drop-in replacement for chain_ops.chain_dp_aux_batch."""
+    B, A = grp.shape
+    H = min(window, A)
+    assert A % 8 == 0
+    scal = jnp.stack(
+        [
+            scalars.max_dist_x.astype(I32),
+            scalars.max_dist_y.astype(I32),
+            scalars.bw.astype(I32),
+        ]
+    )
+    pens = jnp.stack([scalars.chn_pen_gap, scalars.chn_pen_skip]).astype(F32)
+    grp_t = jax.lax.bitcast_convert_type(grp, I32).T
+    kernel = functools.partial(_chain_aux_kernel, A=A, H=H)
+    outs = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() == "cpu",
+        out_shape=tuple(jax.ShapeDtypeStruct((A, B), I32) for _ in range(4)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)),
+    )(
+        scal, pens, grp_t, rpos.astype(I32).T, qpos.astype(I32).T,
+        span.astype(I32).T,
+    )
+    return tuple(o.T for o in outs)

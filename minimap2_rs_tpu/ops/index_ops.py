@@ -24,7 +24,7 @@ I32 = jnp.int32
 U32 = jnp.uint32
 
 
-_PREFIX_BITS = 16
+_PREFIX_BITS = 20
 
 
 @jax.tree_util.register_pytree_node_class
@@ -33,7 +33,7 @@ class DeviceIndex:
     """HBM-resident index arrays. Metadata (w/k/seq table) stays host-side
     in the companion OracleIndex.
 
-    The prefix table narrows every lookup to one 2^16-bucket of the
+    The prefix table narrows every lookup to one 2^20-bucket of the
     sorted key array (the device analog of the reference's 2^b bucket
     dispatch, index.rs:143-147), so the binary search needs only
     ~log2(max bucket size) gather steps instead of log2(U)."""

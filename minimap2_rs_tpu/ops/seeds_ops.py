@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from . import u64
-from .index_ops import DeviceIndex, index_lookup, lower_bound_u64pair
+from .index_ops import DeviceIndex, index_lookup
 from .u64 import U64Pair
 
 I32 = jnp.int32
@@ -112,6 +112,10 @@ def build_anchors_device(
     (B,) bool."""
     B, M = ks.hi.shape
     keys = u64.shr(ks, 8)
+    # padding/filtered slots all probe key 0: their binary-search paths
+    # converge to identical HBM addresses instead of random walks (counts
+    # are masked below, so a coincidental hit is harmless)
+    keys = u64.where(keep, keys, u64.U64Pair(jnp.zeros_like(keys.hi), jnp.zeros_like(keys.lo)))
     start, count = index_lookup(idx, keys)
     # skip over-frequent target keys; singletons always kept
     # (seeds.rs:48-53: only Multi blocks are compared against mid_occ)
@@ -122,11 +126,18 @@ def build_anchors_device(
     total = cum[:, -1]
     n_anchors = jnp.minimum(total, max_anchors)
 
-    # anchor slot a -> minimizer m = first index with cum[m] > a
-    # (branch-free binary search; vmapped jnp.searchsorted compiles
-    # pathologically here)
+    # anchor slot a -> minimizer m: scatter each contributing minimizer's
+    # index at its block start, then a cummax fills the block (one scatter
+    # + one cumulative op instead of log2(M) gather rounds)
     a_idx = jnp.arange(max_anchors, dtype=I32)[None, :]
-    m_idx = _upper_bound_rows(cum, a_idx)  # (B, A)
+    cum_prev = jnp.concatenate([jnp.zeros((B, 1), I32), cum[:, :-1]], axis=1)
+    rows_b = jnp.broadcast_to(jnp.arange(B, dtype=I32)[:, None], (B, M))
+    has = count > 0
+    tgt = jnp.where(has, jnp.minimum(cum_prev, max_anchors - 1), max_anchors - 1)
+    m_src = jnp.where(has, jnp.broadcast_to(jnp.arange(M, dtype=I32)[None, :], (B, M)), -1)
+    m_idx = jnp.full((B, max_anchors), -1, I32).at[rows_b, tgt].max(m_src)
+    m_idx = jax.lax.cummax(m_idx, axis=1)
+    m_idx = jnp.maximum(m_idx, 0)
     m_safe = jnp.minimum(m_idx, M - 1)
     prev_cum = jnp.where(
         m_safe > 0,

@@ -35,7 +35,7 @@ class ShardedDeviceIndex:
     counts: jnp.ndarray
     pos_hi: jnp.ndarray   # (D, P_loc)
     pos_lo: jnp.ndarray
-    prefix: jnp.ndarray   # (D, 2^16 + 1) per-shard prefix lower bounds
+    prefix: jnp.ndarray   # (D, 2^20 + 1) per-shard prefix lower bounds
     prefix_shift: int = 0
     lb_steps: int = 32
 
@@ -95,15 +95,15 @@ class ShardedDeviceIndex:
         ct = np.zeros((n_shards, u_loc), dtype=np.int32)
         ph = np.zeros((n_shards, p_loc), dtype=np.uint32)
         plo = np.zeros((n_shards, p_loc), dtype=np.uint32)
-        shift = max(0, key_bits - 16)
-        ptab = np.zeros((n_shards, (1 << 16) + 1), dtype=np.int32)
+        shift = max(0, key_bits - 20)
+        ptab = np.zeros((n_shards, (1 << 20) + 1), dtype=np.int32)
         lb_steps = 1
         for s, (lo_k, hi_k, p_lo, p_hi) in enumerate(slices):
             n = hi_k - lo_k
             kslice = keys[lo_k:hi_k]
             ptab[s] = np.searchsorted(
                 (kslice >> np.uint64(shift)).astype(np.int64),
-                np.arange((1 << 16) + 1), side="left",
+                np.arange((1 << 20) + 1), side="left",
             ).astype(np.int32)
             if n:
                 bmax = int(np.diff(ptab[s]).max())

@@ -221,3 +221,41 @@ def test_pallas_chain_matches_scan(device_setup):
     f2, p2 = chain_dp_batch_pallas(*args, scal, A)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_pallas_aux_chain_matches_scan(device_setup):
+    """The aux-accumulating Pallas kernel must match the scan variant."""
+    import jax.numpy as jnp
+
+    from minimap2_rs_tpu.ops.chain_ops import chain_dp_aux_batch
+    from minimap2_rs_tpu.ops.chain_pallas import chain_dp_aux_batch_pallas
+
+    genome, idx, dev = device_setup
+    reads = simulate_reads(genome, 4, read_len=(150, 250), seed=31)
+    cp = ChainParams.defaults_for_k(K)
+    scal = chain_scalars_from_params(cp)
+    mid_occ = max(idx.calc_mid_occ(2e-4), 10)
+    A = 256
+    B = len(reads)
+    rng = np.random.default_rng(0)
+    grp = np.full((B, A), 0xFFFFFFFF, dtype=np.uint32)
+    rpos = np.zeros((B, A), dtype=np.int32)
+    qpos = np.zeros((B, A), dtype=np.int32)
+    span = np.zeros((B, A), dtype=np.int32)
+    for b, (_, s, *_r) in enumerate(reads):
+        mv = collect_query_minimizers(s, W, K)
+        mv = filter_query_minimizers(mv, 10, 0.01)
+        anchors = build_anchors(idx, mv, len(s), mid_occ)
+        n = anchors.shape[0]
+        grp[b, :n] = (anchors[:, 0] >> np.uint64(32)).astype(np.uint32)
+        rpos[b, :n] = (anchors[:, 0] & np.uint64(0x7FFFFFFF)).astype(np.int32)
+        qpos[b, :n] = (anchors[:, 1] & np.uint64(0x7FFFFFFF)).astype(np.int32)
+        span[b, :n] = ((anchors[:, 1] >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int32)
+    args = (
+        jnp.asarray(grp), jnp.asarray(rpos), jnp.asarray(qpos),
+        jnp.asarray(span),
+    )
+    o1 = chain_dp_aux_batch(*args, scal, A)
+    o2 = chain_dp_aux_batch_pallas(*args, scal, A)
+    for a, b in zip(o1, o2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
