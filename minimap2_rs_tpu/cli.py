@@ -82,6 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", choices=["auto", "device", "host"], default="auto")
     p.add_argument("--stats", action="store_true", help="print a per-stage timing breakdown to stderr")
     p.add_argument("--trace-dir", default=None, help="write a jax.profiler trace here")
+    p.add_argument("--batch-size", type=int, default=256, help="device batch size (reads per program invocation)")
     return ap
 
 
@@ -195,7 +196,7 @@ def main(argv: list[str] | None = None) -> int:
             if engine == "device":
                 from .models.mapper import Mapper
 
-                mapper = Mapper.from_oracle_index(idx, cp, mp)
+                mapper = Mapper.from_oracle_index(idx, cp, mp, batch_size=args.batch_size)
                 lines = mapper.map_reads(reads)
                 stats = dict(mapper.stats)
             else:

@@ -101,9 +101,15 @@ def build_anchors(
 
 def _encode_anchors(r: np.ndarray, key_span: int, qrps: int, qlen: int):
     """Vectorized push_anchor (seeds.rs:63-78) over one key's occurrence
-    block."""
+    block.
+
+    NOTE: the reference extracts rpos as (r >> 1) & 0xffffffff
+    (seeds.rs:65), which leaks rid's low bit into rpos bit 31 for
+    odd-numbered target sequences and corrupts their coordinates (it was
+    only ever exercised on a single-sequence reference, README.md:8-27).
+    We extract the position correctly: low 32 bits first, then shift."""
     rid = (r >> np.uint64(32)) & np.uint64(0xFFFFFFFF)
-    rpos = (r >> np.uint64(1)) & np.uint64(0xFFFFFFFF)
+    rpos = (r & np.uint64(0xFFFFFFFF)) >> np.uint64(1)
     rstrand = r & np.uint64(1)
     qpos = (qrps >> 1) & 0xFFFFFFFF
     qstrand = qrps & 1

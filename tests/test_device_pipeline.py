@@ -99,3 +99,27 @@ def test_long_reads_parity(setup):
         assert df[13] == hf[13]    # cm
         ds1 = int(df[14].split(":")[-1]); hs1 = int(hf[14].split(":")[-1])
         assert hs1 <= ds1 <= hs1 + 16
+
+
+def test_multi_chromosome_parity():
+    """Multi-sequence references: rid routing, per-target tlen/names."""
+    g1 = random_genome(30_000, seed=41)
+    g2 = random_genome(20_000, seed=42)
+    g3 = random_genome(10_000, seed=43)
+    idx = build_index([("c1", g1), ("c2", g2), ("c3", g3)], IndexParams(w=W, k=K))
+    cp = ChainParams.defaults_for_k(K)
+    mp = MapParams()
+    mapper = Mapper.from_oracle_index(
+        idx, cp, mp, buckets=(256, 512), batch_size=8, mini_frac=0.6, anchor_frac=1.0
+    )
+    rl = []
+    for i, g in enumerate([g1, g2, g3]):
+        reads = simulate_reads(g, 3, read_len=(200, 400), seed=50 + i)
+        rl += [(f"g{i}_{n}", s) for n, s, *_ in reads]
+    dev = mapper.map_reads(rl)
+    host = map_reads(idx, rl, cp, mp)
+    assert dev == host
+    # each read maps to its own chromosome
+    tnames = {l.split("\t")[0]: l.split("\t")[5] for l in dev}
+    for name, t in tnames.items():
+        assert t == f"c{int(name[1]) + 1}", (name, t)
