@@ -306,9 +306,23 @@ class Mapper:
         self._ensure_meta()
         col = {name: i for i, name in enumerate(FIELDS)}
         kf = np.float32(max(float(self.idx.k), 1.0))
+        # dv for the whole batch in one vectorized float32 pass (bit-equal
+        # to the reference's scalar f32 math), and bulk int conversion —
+        # per-element numpy scalar access dominates an interpreted loop
+        frac = fields[:, col["n_match"]].astype(np.float32) / np.maximum(
+            fields[:, col["n_tot"]], 1
+        ).astype(np.float32)
+        dv_all = np.where(
+            (frac < np.float32(1.0)) & (fields[:, col["dv_found"]] != 0),
+            np.float32(1.0) - frac ** (np.float32(1.0) / kf),
+            np.float32(0.0),
+        )
+        rows = fields.tolist()
+        dv_list = dv_all.tolist()
+        tnames, tlens, mapq = self._tnames, self._tlens.tolist(), self.mp.mapq
         for bi, ri in enumerate(chunk):
             qname, qseq = reads[ri]
-            row = fields[bi]
+            row = rows[bi]
             if row[col["mini_ovf"]] or row[col["anc_ovf"]]:
                 results[ri] = self._host_fallback(reads[ri])
                 continue
@@ -320,25 +334,20 @@ class Mapper:
                 results[ri] = self._host_fallback(reads[ri])
                 continue
             qlen = len(qseq)
-            qs, qe = int(row[col["qs"]]), int(row[col["qe"]])
-            ts, te = int(row[col["ts"]]), int(row[col["te"]])
-            grp = int(row[col["grp"]])
+            qs, qe = row[col["qs"]], row[col["qe"]]
+            ts, te = row[col["ts"]], row[col["te"]]
+            grp = row[col["grp"]]
             rev = (grp >> 31) & 1
             rid = grp & 0x7FFFFFFF
-            dv = np.float32(0.0)
-            if row[col["dv_found"]]:
-                frac = np.float32(row[col["n_match"]]) / np.float32(row[col["n_tot"]])
-                if frac < np.float32(1.0):
-                    dv = np.float32(1.0) - frac ** (np.float32(1.0) / kf)
             strand = "-" if rev else "+"
             wqs, wqe = (qlen - qe, qlen - qs) if rev else (qs, qe)
-            s1 = max(int(row[col["score"]]), 0)
+            s1 = max(row[col["score"]], 0)
             results[ri] = [
                 f"{qname}\t{qlen}\t{wqs}\t{wqe}\t{strand}\t"
-                f"{self._tnames[rid]}\t{self._tlens[rid]}\t{ts}\t{te}\t"
-                f"{max(qe - qs, 0)}\t{max(te - ts, 0)}\t{self.mp.mapq}\t"
+                f"{tnames[rid]}\t{tlens[rid]}\t{ts}\t{te}\t"
+                f"{max(qe - qs, 0)}\t{max(te - ts, 0)}\t{mapq}\t"
                 f"tp:A:P\tcm:i:{row[col['cm']]}\ts1:i:{s1}\ts2:i:0\t"
-                f"dv:f:{dv:.4f}\trl:i:0"
+                f"dv:f:{dv_list[bi]:.4f}\trl:i:0"
             ]
 
     def _rescue_stage(self, x_hi, x_lo, y_hi, y_lo, window: int):

@@ -285,3 +285,20 @@ def end_extend(
         te += 1
         ext += 1
     return qs, qe, ts, te
+
+
+def write_paf_many(
+    idx: OracleIndex,
+    anchors: np.ndarray,
+    chains: list[list[int]],
+    qname: str,
+    qseq: bytes,
+) -> list[str]:
+    """Emit all chains without s1/s2 stamping (paf.rs:250-258; unused by
+    the reference's align pipeline, kept for API parity)."""
+    out = []
+    for ci, chain in enumerate(chains):
+        rec = paf_from_chain(idx, anchors, chain, qname, qseq, is_primary=(ci == 0))
+        if rec is not None:
+            out.append(write_paf(rec))
+    return out
