@@ -20,7 +20,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=16384)
     ap.add_argument("--genome-mb", type=float, default=5.0)
-    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--batch-size", type=int, default=4096)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 

@@ -82,7 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", choices=["auto", "device", "host"], default="auto")
     p.add_argument("--stats", action="store_true", help="print a per-stage timing breakdown to stderr")
     p.add_argument("--trace-dir", default=None, help="write a jax.profiler trace here")
-    p.add_argument("--batch-size", type=int, default=256, help="device batch size (reads per program invocation)")
+    p.add_argument("--batch-size", type=int, default=4096, help="max reads per device program invocation")
     return ap
 
 

@@ -114,6 +114,7 @@ def _fused_map_stage_lite(
     codes: jnp.ndarray,
     lengths: jnp.ndarray,
     scalars: ChainScalars,
+    scalars_wide: ChainScalars,
     mid_occ: jnp.ndarray,
     tlens: jnp.ndarray,
     rmq_rescue_size: jnp.ndarray,
@@ -130,9 +131,13 @@ def _fused_map_stage_lite(
     pallas_chain: bool = False,
 ):
     """Default-parameter fast path: the whole pipeline INCLUDING chain
-    finalization on device; output is (B, 16) int32 PAF fields
-    (ops/finalize_ops.py). The chain kernel accumulates per-chain
-    statistics along the prev path, so no backtracking exists anywhere.
+    finalization on device; output is (B, 32) int32 PAF fields — the
+    normal-band fields (ops/finalize_ops.py) then the bw_long wide-band
+    fields. The chain kernel accumulates per-chain statistics along the
+    prev path, so no backtracking exists anywhere; computing BOTH bands
+    up front costs ~8 ms per call and removes the separate rescue
+    round-trip (lchain.rs:321-330) entirely — the host just switches to
+    the wide row when the normal row's rescue flag is set.
     Valid when min_cnt >= 2 (the reference backtrack always takes its
     greedy single-chain fallback) and non-HPC (spans are uniformly k)."""
     from ..ops.finalize_ops import finalize_from_aux
@@ -149,15 +154,19 @@ def _fused_map_stage_lite(
         from ..ops.chain_pallas import chain_dp_aux_batch_pallas as _chain_fn
     else:
         from ..ops.chain_ops import chain_dp_aux_batch as _chain_fn
-    f, cnt, sq, sr = _chain_fn(
+    args = (
         x_hi, x_lo.astype(I32), y_lo.astype(I32),
-        (y_hi & jnp.uint32(0xFF)).astype(I32), scalars, window,
+        (y_hi & jnp.uint32(0xFF)).astype(I32),
     )
-    return finalize_from_aux(
-        f, cnt, sq, sr, x_hi, x_lo, y_lo, n_anchors,
-        mini_pos, n_mini, lengths, tlens, mini_ovf, anc_ovf,
-        k, rmq_rescue_size, rmq_rescue_ratio,
-    )
+    fields = []
+    for scal in (scalars, scalars_wide):
+        f, cnt, sq, sr = _chain_fn(*args, scal, window)
+        fields.append(finalize_from_aux(
+            f, cnt, sq, sr, x_hi, x_lo, y_lo, n_anchors,
+            mini_pos, n_mini, lengths, tlens, mini_ovf, anc_ovf,
+            k, rmq_rescue_size, rmq_rescue_ratio,
+        ))
+    return jnp.concatenate(fields, axis=1)
 
 
 def _use_pallas_chain() -> bool:
@@ -226,12 +235,17 @@ class Mapper:
     mid_occ: int
     # length buckets: reads are padded to the smallest bucket >= their length
     buckets: tuple[int, ...] = (1024, 2048, 4096, 8192, 16384, 32768, 65536)
-    batch_size: int = 64
+    # max reads per device call; every host<->device sync costs ~25 ms
+    # through the TPU relay, so calls are sized by total anchor slots
+    # (SLOT_TARGET) and capped here
+    batch_size: int = 4096
     # minimizer density is ~2/(w+1) ~ 0.18/base and anchors ~1.05x that on
-    # non-repetitive genomes; reads that overflow the padded slots fall
-    # back to the host path, so these control speed, not correctness
-    mini_frac: float = 0.3   # minimizer slots per base of bucket
-    anchor_frac: float = 0.45  # anchor slots per base of bucket
+    # non-repetitive genomes; reads that overflow the padded slots re-run
+    # on device at 4x capacity (then fall back to the host path), so these
+    # control speed, not correctness
+    mini_frac: float = 0.25   # minimizer slots per base of bucket
+    anchor_frac: float = 0.25  # anchor slots per base of bucket
+    slot_target: int = 1 << 20  # anchor slots per device call
     stats: dict = dataclasses.field(default_factory=dict)
 
     def _t(self, key: str, dt: float):
@@ -277,14 +291,18 @@ class Mapper:
         self._ensure_meta()
         if not hasattr(self, "_tlens_dev"):
             self._tlens_dev = jnp.asarray(self._tlens)
+            self._scalars_wide = chain_scalars_from_params(
+                dataclasses.replace(self.cp, bw=self.cp.bw_long)
+            )
             self._lite_exec = {}
         # AOT-compile per shape: this environment's jit cache drops
         # XLA-hoisted constant parameters on repeat calls ("supplied N,
         # expected N+1 buffers"); ahead-of-time executables own their
         # constants and marshal correctly.
-        key = (M, A, window, _use_pallas_chain())
+        key = (codes.shape, M, A, window, _use_pallas_chain())
         args = (
-            self.dev_idx, codes, lengths, scalars, jnp.int32(self.mid_occ),
+            self.dev_idx, codes, lengths, scalars, self._scalars_wide,
+            jnp.int32(self.mid_occ),
             self._tlens_dev, jnp.int32(self.cp.rmq_rescue_size),
             jnp.float32(self.cp.rmq_rescue_ratio),
         )
@@ -293,18 +311,24 @@ class Mapper:
                 *args,
                 w=self.idx.w, k=self.idx.k, hpc=bool(self.idx.flag & 1),
                 q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
-                M=M, A=A, window=window, pallas_chain=key[3],
+                M=M, A=A, window=window, pallas_chain=key[-1],
             )
             self._lite_exec[key] = lowered.compile()
         return self._lite_exec[key](*args)
 
-    def _postprocess_lite(self, reads, chunk, fields, results):
-        """Format PAF lines from the device's (B, 16) field array; route
-        flagged reads (overflow / rescue / empty) to the host pipeline."""
+    def _postprocess_lite(self, reads, chunk, fields, results, mode="normal"):
+        """Format PAF lines from the device's (B, 32) dual-band field
+        array: the wide-band row replaces the normal row when the rescue
+        flag is set (lchain.rs:321-330, resolved without a round-trip).
+        Capacity overflow goes to the 4x-capacity device tier ("normal"
+        mode) or the host pipeline ("tier2" mode)."""
         from ..ops.finalize_ops import FIELDS
 
         self._ensure_meta()
         col = {name: i for i, name in enumerate(FIELDS)}
+        nf = len(FIELDS)
+        resc = fields[:, col["rescue"]] != 0
+        fields = np.where(resc[:, None], fields[:, nf:], fields[:, :nf])
         kf = np.float32(max(float(self.idx.k), 1.0))
         # dv for the whole batch in one vectorized float32 pass (bit-equal
         # to the reference's scalar f32 math), and bulk int conversion —
@@ -324,14 +348,13 @@ class Mapper:
             qname, qseq = reads[ri]
             row = rows[bi]
             if row[col["mini_ovf"]] or row[col["anc_ovf"]]:
-                results[ri] = self._host_fallback(reads[ri])
+                if mode == "normal":
+                    self._tier2_queue.append(ri)
+                else:
+                    results[ri] = self._host_fallback(reads[ri])
                 continue
             if row[col["n_anchors"]] == 0:
                 results[ri] = []
-                continue
-            if row[col["rescue"]]:
-                # the wide-band rescue re-run needs the full anchor set
-                results[ri] = self._host_fallback(reads[ri])
                 continue
             qlen = len(qseq)
             qs, qe = row[col["qs"]], row[col["qe"]]
@@ -387,22 +410,48 @@ class Mapper:
         # phase 1: submit every batch to the device (async dispatch) so
         # TPU compute and device->host transfers overlap with the host
         # postprocessing of earlier batches
-        pending = []
         t0 = _time.time()
-        for bucket, idxs in groups.items():
-            # lane-aligned padded capacities
-            M = max(128, -(-int(bucket * self.mini_frac) // 128) * 128)
-            A = max(128, -(-int(bucket * self.anchor_frac) // 128) * 128)
-            window = min(self.cp.max_chain_iter, A)
-            # scale the batch down for long buckets: per-batch work grows
-            # with bucket length and the chain kernel's VMEM footprint is
-            # ~6 * A * B * 4 bytes
-            bucket_B = max(8, self.batch_size * self.buckets[0] // bucket)
-            for c0 in range(0, len(idxs), bucket_B):
-                chunk = idxs[c0 : c0 + bucket_B]
+        pending = self._submit_groups(reads, groups, scalars, lite, mult=1)
+        self._t("submit", _time.time() - t0)
+
+        # phase 2: pull + postprocess in submission order
+        self._rescue_queue: list = []
+        self._tier2_queue: list = []
+        self._drain_pending(reads, pending, results, lite)
+
+        # phase 2.5: capacity-overflow reads re-run on device at 4x slots
+        t4 = _time.time()
+        self._drain_tier2(reads, results, scalars, lite)
+        self._t("tier2", _time.time() - t4)
+
+        # phase 3: one batched wide-band rescue pass for all queued reads
+        t4 = _time.time()
+        self._drain_rescues(reads, results)
+        self._t("rescue", _time.time() - t4)
+
+        return [line for i in range(len(reads)) for line in results.get(i, [])]
+
+    def _shapes_for(self, bucket: int, mult: int):
+        """Padded capacities and reads-per-call for a length bucket."""
+        lane = lambda v: max(128, -(-int(v) // 128) * 128)
+        M = min(lane(bucket * self.mini_frac * mult), lane(bucket))
+        A = lane(bucket * self.anchor_frac * mult)
+        window = min(self.cp.max_chain_iter, A)
+        B = min(self.batch_size, max(8, self.slot_target // A))
+        B = -(-B // 8) * 8
+        return M, A, window, B
+
+    def _submit_groups(self, reads, groups, scalars, lite, mult=None):
+        """groups: {bucket: [ri...]} with uniform `mult`, or
+        {(bucket, mult): [ri...]} when mult is None."""
+        pending = []
+        for gkey, idxs in groups.items():
+            bucket, gmult = gkey if mult is None else (gkey, mult)
+            M, A, window, B = self._shapes_for(bucket, gmult)
+            for c0 in range(0, len(idxs), B):
+                chunk = idxs[c0 : c0 + B]
                 # pad the batch dimension to a fixed size so every call
                 # reuses one compiled program per bucket
-                B = bucket_B
                 # uint8 on the wire: host->device transfers through the
                 # relay are latency+bandwidth bound
                 codes = np.full((B, bucket), 4, dtype=np.uint8)
@@ -416,16 +465,17 @@ class Mapper:
                     jnp.asarray(codes), jnp.asarray(lengths), M, A, scalars, window
                 )
                 pending.append((chunk, packed, M, A, window))
-        self._t("submit", _time.time() - t0)
+        return pending
 
-        # phase 2: pull + postprocess in submission order
-        self._rescue_queue: list = []
+    def _drain_pending(self, reads, pending, results, lite, mode="normal"):
+        import time as _time
+
         for chunk, packed, M, A, window in pending:
             t1 = _time.time()
             if lite:
                 fields = np.asarray(packed)
                 t2 = _time.time()
-                self._postprocess_lite(reads, chunk, fields, results)
+                self._postprocess_lite(reads, chunk, fields, results, mode=mode)
             else:
                 out = _unpack_map_stage(
                     np.asarray(packed), M, A, hpc=bool(self.idx.flag & 1)
@@ -436,12 +486,28 @@ class Mapper:
             self._t("d2h+wait", t2 - t1)
             self._t("post", t3 - t2)
 
-        # phase 3: one batched wide-band rescue pass for all queued reads
-        t4 = _time.time()
-        self._drain_rescues(reads, results)
-        self._t("rescue", _time.time() - t4)
-
-        return [line for i in range(len(reads)) for line in results.get(i, [])]
+    def _drain_tier2(self, reads, results, scalars, lite):
+        """Re-run reads whose minimizer/anchor population overflowed the
+        default slots, with 4x capacities; residual overflow goes to the
+        reference-faithful host pipeline."""
+        queue = self._tier2_queue
+        self._tier2_queue = []
+        if not queue:
+            return
+        if len(queue) < 48:
+            # not worth a fresh device program (compiles cost ~15 s the
+            # first time); the host pipeline handles a handful of reads
+            # in milliseconds each
+            for ri in queue:
+                results[ri] = self._host_fallback(reads[ri])
+            return
+        groups: dict[int, list[int]] = {}
+        for ri in queue:
+            L = len(reads[ri][1])
+            bucket = next(b for b in self.buckets if L <= b)
+            groups.setdefault(bucket, []).append(ri)
+        pending = self._submit_groups(reads, groups, scalars, lite, mult=4)
+        self._drain_pending(reads, pending, results, lite, mode="tier2")
 
     # ------------------------------------------------------------------
 

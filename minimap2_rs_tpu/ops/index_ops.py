@@ -1,11 +1,26 @@
 """Device-resident minimizer index and vectorized lookup.
 
-The flat sorted-array layout (oracle/index.py) maps directly to HBM:
-keys as uint32 (hi, lo) pairs plus starts/counts/positions. Lookup is a
-vectorized lower-bound binary search (fori_loop over ~log2(U) gather+
-compare steps) — replacing the reference's per-bucket HashMap probe
-(/root/reference/src/index.rs:143-154) with a branch-free form the
-TPU executes for thousands of queries at once.
+The flat sorted-array layout (oracle/index.py) maps to HBM as ONE
+interleaved (U, 4) uint32 row table [key_hi, key_lo, start, count] plus
+an interleaved (P, 2) position table — replacing the reference's
+per-bucket HashMap probe (/root/reference/src/index.rs:143-154).
+
+Random HBM gathers are the cost model on TPU (~10 ns per gathered
+element regardless of slice width, measured on v5e): a classic binary
+search pays log2(bucket) round trips. Instead the prefix table is sized
+so that every prefix bucket fits in `bucket_slots` consecutive rows of
+the sorted key table, making a lookup exactly TWO gathers:
+
+    p     = key >> prefix_shift            (top bits of the hashed key)
+    base  = prefix[p]                      gather #1 (4 B)
+    rows  = kv[base : base + S]            gather #2 (one 16*S B slice)
+    hit   = rows.key == key  ->  (start, count) selected in-register
+
+Hashed keys are uniform (the invertible hash64 finalizer), so with
+2^prefix_bits ≈ 4·U buckets the max bucket size is small (Poisson tail);
+`from_host` verifies the bound and widens S or the table as needed.
+Reading past a bucket's end into the next bucket is harmless: keys are
+globally sorted, so foreign rows never compare equal.
 """
 
 from __future__ import annotations
@@ -23,66 +38,139 @@ from .u64 import U64Pair
 I32 = jnp.int32
 U32 = jnp.uint32
 
-
-_PREFIX_BITS = 20
+_MAX_PREFIX_BITS = 26  # 256 MB table cap; beyond this widen bucket_slots
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DeviceIndex:
-    """HBM-resident index arrays. Metadata (w/k/seq table) stays host-side
-    in the companion OracleIndex.
+    """HBM-resident index tables. Metadata (w/k/seq table) stays host-side
+    in the companion OracleIndex."""
 
-    The prefix table narrows every lookup to one 2^20-bucket of the
-    sorted key array (the device analog of the reference's 2^b bucket
-    dispatch, index.rs:143-147), so the binary search needs only
-    ~log2(max bucket size) gather steps instead of log2(U)."""
-
-    keys_hi: jnp.ndarray   # (U,) uint32
-    keys_lo: jnp.ndarray   # (U,) uint32
-    starts: jnp.ndarray    # (U,) int32
-    counts: jnp.ndarray    # (U,) int32
-    pos_hi: jnp.ndarray    # (P,) uint32 — rid
-    pos_lo: jnp.ndarray    # (P,) uint32 — pos<<1|strand
-    prefix: jnp.ndarray    # (2^16 + 1,) int32 lower bounds by key prefix
-    prefix_shift: int = 0  # static: key >> shift yields the prefix
-    lb_steps: int = 32     # static: binary search steps within a bucket
+    kv: jnp.ndarray      # (U + S, 4) uint32 rows [key_hi, key_lo, start, count]
+    pos: jnp.ndarray     # (P, 2) uint32 rows [rid, pos<<1|strand]
+    prefix: jnp.ndarray  # (2^prefix_bits + 1,) int32 lower bounds by key prefix
+    prefix_shift: int = 0   # static: key >> shift yields the prefix
+    bucket_slots: int = 8   # static: rows fetched per lookup (>= max bucket)
+    n_keys: int = 0         # static: number of real (unpadded) key rows
 
     def tree_flatten(self):
         return (
-            (self.keys_hi, self.keys_lo, self.starts, self.counts,
-             self.pos_hi, self.pos_lo, self.prefix),
-            (self.prefix_shift, self.lb_steps),
+            (self.kv, self.pos, self.prefix),
+            (self.prefix_shift, self.bucket_slots, self.n_keys),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, prefix_shift=aux[0], lb_steps=aux[1])
+        return cls(*children, prefix_shift=aux[0], bucket_slots=aux[1], n_keys=aux[2])
+
+    # ---- compatibility views over the interleaved tables ---------------
+    @property
+    def keys_hi(self) -> jnp.ndarray:
+        return self.kv[: self.n_keys, 0]
+
+    @property
+    def keys_lo(self) -> jnp.ndarray:
+        return self.kv[: self.n_keys, 1]
+
+    @property
+    def starts(self) -> jnp.ndarray:
+        return jax.lax.bitcast_convert_type(self.kv[: self.n_keys, 2], I32)
+
+    @property
+    def counts(self) -> jnp.ndarray:
+        return jax.lax.bitcast_convert_type(self.kv[: self.n_keys, 3], I32)
+
+    @property
+    def pos_hi(self) -> jnp.ndarray:
+        return self.pos[:, 0]
+
+    @property
+    def pos_lo(self) -> jnp.ndarray:
+        return self.pos[:, 1]
 
     @staticmethod
     def from_host(keys: np.ndarray, starts: np.ndarray, counts: np.ndarray,
                   positions: np.ndarray, key_bits: int = 56) -> "DeviceIndex":
-        """Split host uint64 arrays into device uint32 pairs and build the
-        prefix table. key_bits bounds the hashed key width (2k)."""
-        shift = max(0, key_bits - _PREFIX_BITS)
-        prefixes = (keys >> np.uint64(shift)).astype(np.int64)
-        table = np.searchsorted(
-            prefixes, np.arange((1 << _PREFIX_BITS) + 1), side="left"
-        ).astype(np.int32)
-        bucket_sizes = np.diff(table)
-        max_bucket = int(bucket_sizes.max()) if bucket_sizes.size else 1
-        lb_steps = max(1, int(np.ceil(np.log2(max_bucket + 1))) + 1)
+        """Build the interleaved tables from host uint64 arrays. key_bits
+        bounds the hashed key width (2k)."""
+        kv_np, prefix_np, shift, S = plan_prefix_layout(keys, key_bits)
+        pos_np = np.empty((max(positions.shape[0], 1), 2), dtype=np.uint32)
+        pos_np[: positions.shape[0], 0] = (positions >> np.uint64(32)).astype(np.uint32)
+        pos_np[: positions.shape[0], 1] = (positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        if positions.shape[0] == 0:
+            pos_np[:] = 0
+        kv_np[: keys.shape[0], 2] = starts.astype(np.uint32)
+        kv_np[: keys.shape[0], 3] = counts.astype(np.uint32)
         return DeviceIndex(
-            keys_hi=jnp.asarray((keys >> np.uint64(32)).astype(np.uint32)),
-            keys_lo=jnp.asarray((keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-            starts=jnp.asarray(starts.astype(np.int32)),
-            counts=jnp.asarray(counts.astype(np.int32)),
-            pos_hi=jnp.asarray((positions >> np.uint64(32)).astype(np.uint32)),
-            pos_lo=jnp.asarray((positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-            prefix=jnp.asarray(table),
+            kv=jnp.asarray(kv_np),
+            pos=jnp.asarray(pos_np),
+            prefix=jnp.asarray(prefix_np),
             prefix_shift=shift,
-            lb_steps=lb_steps,
+            bucket_slots=S,
+            n_keys=int(keys.shape[0]),
         )
+
+
+def plan_prefix_layout(keys: np.ndarray, key_bits: int):
+    """Choose (prefix_bits, bucket_slots) so every prefix bucket fits in
+    one bucket_slots-row slice, and build the padded key table + prefix
+    lower bounds. Returns (kv[:, :2] filled, prefix, shift, S); caller
+    fills columns 2-3. Shared with the sharded index builder."""
+    U = int(keys.shape[0])
+    # ~16 buckets per key keeps the max bucket (and so the per-lookup
+    # gather count) at ~4 for hash64-uniform keys; each extra gather is
+    # a full HBM round trip, so trading prefix-table memory for a small
+    # S is the right side of the bargain
+    prefix_bits = max(12, int(np.ceil(np.log2(U + 1))) + 6)
+    prefix_bits = min(prefix_bits, _MAX_PREFIX_BITS, key_bits)
+    shift = max(0, key_bits - prefix_bits)
+    prefixes = (keys >> np.uint64(shift)).astype(np.int64)
+    hist = np.bincount(prefixes, minlength=(1 << prefix_bits))
+    prefix_np = np.zeros((1 << prefix_bits) + 1, dtype=np.int32)
+    np.cumsum(hist, out=prefix_np[1:])
+    maxb = int(hist.max()) if U else 1
+    S = 4
+    while S < maxb:
+        S *= 2
+    kv_np = np.full((U + S, 4), 0xFFFFFFFF, dtype=np.uint32)
+    kv_np[:U, 0] = (keys >> np.uint64(32)).astype(np.uint32)
+    kv_np[:U, 1] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    kv_np[U:, 3] = 0  # sentinel rows never match, and count 0 is safe
+    return kv_np, prefix_np, shift, S
+
+
+def gather_rows(table: jnp.ndarray, base: jnp.ndarray, S: int) -> jnp.ndarray:
+    """table (N, C); base any int shape -> (*base.shape, S, C): S
+    consecutive rows per query, clamped at the end.
+
+    Deliberately S separate single-row gathers: XLA lowers a gather whose
+    slice spans multiple major-dim rows (slice_sizes=(S, C)) to a slow
+    path ~30x worse than S independent (1, C) gathers (measured on v5e:
+    268 ms vs 10 ms for S=8 at 196k queries)."""
+    N = table.shape[0]
+    if S == 1:
+        return table[jnp.clip(base, 0, N - 1)][..., None, :]
+    i = base[..., None] + jnp.arange(S, dtype=I32)
+    return table[jnp.clip(i, 0, N - 1)]
+
+
+@functools.partial(jax.jit)
+def index_lookup(idx: DeviceIndex, q: U64Pair):
+    """For each query key: (start, count) of its occurrence block, count 0
+    when absent (Index::get, index.rs:143-154). Two gathers total: the
+    prefix lower bound, then the bucket's row slice."""
+    p = u64.shr(q, idx.prefix_shift).lo.astype(I32)
+    p = jnp.clip(p, 0, idx.prefix.shape[0] - 2)
+    base = idx.prefix[p]
+    rows = gather_rows(idx.kv, base, idx.bucket_slots)  # (..., S, 4)
+    hit = (rows[..., 0] == q.hi[..., None]) & (rows[..., 1] == q.lo[..., None])
+    start = jnp.max(jnp.where(hit, rows[..., 2], U32(0)), axis=-1)
+    count = jnp.max(jnp.where(hit, rows[..., 3], U32(0)), axis=-1)
+    return (
+        jax.lax.bitcast_convert_type(start, I32),
+        jax.lax.bitcast_convert_type(count, I32),
+    )
 
 
 def lower_bound_u64pair(
@@ -103,31 +191,3 @@ def lower_bound_u64pair(
 
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     return lo
-
-
-@functools.partial(jax.jit)
-def index_lookup(idx: DeviceIndex, q: U64Pair):
-    """For each query key: (start, count) of its occurrence block, count 0
-    when absent (Index::get, index.rs:143-154). Prefix-table dispatch +
-    short in-bucket binary search."""
-    keys = U64Pair(idx.keys_hi, idx.keys_lo)
-    p = u64.shr(q, idx.prefix_shift).lo.astype(jnp.int32)
-    p = jnp.clip(p, 0, idx.prefix.shape[0] - 2)
-    lo = idx.prefix[p]
-    hi = idx.prefix[p + 1]
-
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = (lo + hi) >> 1
-        kmid = U64Pair(idx.keys_hi[mid], idx.keys_lo[mid])
-        go_right = u64.lt(kmid, q) & (lo < hi)
-        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, idx.lb_steps, body, (lo, hi))
-    pos = lo
-    n = idx.keys_hi.shape[0]
-    safe = jnp.minimum(pos, n - 1)
-    found = (pos < n) & u64.eq(U64Pair(idx.keys_hi[safe], idx.keys_lo[safe]), q)
-    start = jnp.where(found, idx.starts[safe], 0)
-    count = jnp.where(found, idx.counts[safe], 0)
-    return start, count

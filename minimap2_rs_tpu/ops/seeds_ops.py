@@ -16,34 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from . import u64
-from .index_ops import DeviceIndex, index_lookup
+from .index_ops import DeviceIndex, gather_rows, index_lookup
 from .u64 import U64Pair
 
 I32 = jnp.int32
 U32 = jnp.uint32
 INVALID_XHI = 0xFFFFFFFF  # python literal (see chain_ops note)
-
-
-def _upper_bound_rows(sorted_rows: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """Per-row upper_bound: first index m with sorted_rows[b, m] > q[b, a].
-    sorted_rows (B, M) nondecreasing; q broadcastable to (B, A)."""
-    import numpy as _np
-
-    B, M = sorted_rows.shape
-    q = jnp.broadcast_to(q, (B,) + q.shape[-1:])
-    lo = jnp.zeros(q.shape, dtype=I32)
-    hi = jnp.full(q.shape, M, dtype=I32)
-    steps = max(1, int(_np.ceil(_np.log2(M + 1))) + 1)
-
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = (lo + hi) >> 1
-        vmid = jnp.take_along_axis(sorted_rows, jnp.minimum(mid, M - 1), axis=1)
-        go_right = vmid <= q
-        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
-    return lo
 
 
 def sort_minimizers_by_key(ks: U64Pair, ps: jnp.ndarray):
@@ -126,34 +104,55 @@ def build_anchors_device(
     total = cum[:, -1]
     n_anchors = jnp.minimum(total, max_anchors)
 
-    # anchor slot a -> minimizer m: scatter each contributing minimizer's
-    # index at its block start, then a cummax fills the block (one scatter
-    # + one cumulative op instead of log2(M) gather rounds)
+    # anchor slot a -> minimizer m (the segmented expansion): place each
+    # contributing minimizer's index at its block-start slot, fill blocks
+    # with a cummax, then read the fill back in slot order. Scatters are
+    # ~10x slower than sorts on TPU, so both placement and read-back are
+    # payload sorts: merge the "start" records (key 2*cum_prev) with the
+    # "slot" records (key 2*a + 1), cummax over the merged payload, and
+    # a second sort extracts the slot records in order.
     a_idx = jnp.arange(max_anchors, dtype=I32)[None, :]
     cum_prev = jnp.concatenate([jnp.zeros((B, 1), I32), cum[:, :-1]], axis=1)
-    rows_b = jnp.broadcast_to(jnp.arange(B, dtype=I32)[:, None], (B, M))
     has = count > 0
-    tgt = jnp.where(has, jnp.minimum(cum_prev, max_anchors - 1), max_anchors - 1)
-    m_src = jnp.where(has, jnp.broadcast_to(jnp.arange(M, dtype=I32)[None, :], (B, M)), -1)
-    m_idx = jnp.full((B, max_anchors), -1, I32).at[rows_b, tgt].max(m_src)
-    m_idx = jax.lax.cummax(m_idx, axis=1)
-    m_idx = jnp.maximum(m_idx, 0)
-    m_safe = jnp.minimum(m_idx, M - 1)
-    prev_cum = jnp.where(
-        m_safe > 0,
-        jnp.take_along_axis(cum, jnp.maximum(m_safe - 1, 0), axis=1),
-        0,
+    BIG = I32(2**30)
+    k_start = jnp.where(has, jnp.minimum(cum_prev, max_anchors - 1) * 2, BIG)
+    v_start = jnp.where(has, jnp.broadcast_to(jnp.arange(M, dtype=I32)[None, :], (B, M)), -1)
+    k_slot = jnp.broadcast_to(a_idx * 2 + 1, (B, max_anchors))
+    v_slot = jnp.full((B, max_anchors), -1, I32)
+    k2 = jnp.concatenate([k_start, k_slot], axis=1)
+    v2 = jnp.concatenate([v_start, v_slot], axis=1)
+    t2 = jnp.concatenate(
+        [jnp.zeros((B, M), I32), jnp.ones((B, max_anchors), I32)], axis=1
     )
+    k2s, v2s, t2s = jax.lax.sort((k2, v2, t2), dimension=-1, num_keys=1)
+    fill = jax.lax.cummax(v2s, axis=1)
+    k3 = jnp.where(t2s == 1, k2s >> 1, BIG)
+    _, m_idx = jax.lax.sort((k3, fill), dimension=-1, num_keys=1)
+    m_idx = jnp.maximum(m_idx[:, :max_anchors], 0)
+    m_safe = jnp.minimum(m_idx, M - 1)
+
+    # all four per-minimizer columns [cum_prev, start, ps, span] in ONE
+    # (1, 4)-slice gather per anchor slot: each random gather pays the
+    # same fixed HBM round trip regardless of width, so fusing the four
+    # take_along_axis calls quarters this stage's gather bill
+    bc = lambda a: jax.lax.bitcast_convert_type(a, I32)
+    mtab = jnp.stack(
+        [cum_prev, start, bc(ps), bc(ks.lo & U32(0xFF))], axis=-1
+    )  # (B, M, 4) int32
+    mrows = jnp.take_along_axis(mtab, m_safe[:, :, None], axis=1)  # (B, A, 4)
+    prev_cum = jnp.where(m_safe > 0, mrows[..., 0], 0)
     occ_off = a_idx - prev_cum
     valid = a_idx < n_anchors[:, None]
 
-    g_start = jnp.take_along_axis(start, m_safe, axis=1)
+    g_start = mrows[..., 1]
     p_idx = jnp.where(valid, g_start + occ_off, 0)
-    r_hi = idx.pos_hi[p_idx]  # rid
-    r_lo = idx.pos_lo[p_idx]  # rpos<<1|rstrand
+    # interleaved (P, 2) position rows: one slice-2 gather for (rid, pos)
+    prow = gather_rows(idx.pos, p_idx, 1)[..., 0, :]
+    r_hi = prow[..., 0]  # rid
+    r_lo = prow[..., 1]  # rpos<<1|rstrand
 
-    ps_m = jnp.take_along_axis(ps, m_safe, axis=1)
-    span = jnp.take_along_axis(ks.lo, m_safe, axis=1) & U32(0xFF)
+    ps_m = jax.lax.bitcast_convert_type(mrows[..., 2], U32)
+    span = jax.lax.bitcast_convert_type(mrows[..., 3], U32)
     qpos = ps_m >> U32(1)
     qstrand = ps_m & U32(1)
     rpos = r_lo >> U32(1)

@@ -185,12 +185,13 @@ def sketch_positions(
             )
             emitted = emitted.at[..., : L - d].max(cond)
 
-    rows = jnp.broadcast_to(jnp.arange(B, dtype=I32)[:, None], (B, L))
-
     if w > 1:
         # completion-step rules (oracle/sketch.py): at e with
         # l_eff == w+k-1, m1 = min over [e-w+1, e-1], M its newest tie:
         # ties of m1 except M are emitted; emitted[M] = ks[e] > m1.
+        # M lies within w-1 of e, so the "write at M" scatter becomes a
+        # bounded loop of shifted masked ORs (XLA scatters cost ~10 ms
+        # per (B, L) call on v5e; these are plain VPU passes).
         compl_e = l_eff == (w + k - 1)
         m1 = _shift_right_u64(wmin1, 1, u64.UMAX)
         M = _shift_right(widx1, 1, I32(-1))
@@ -208,17 +209,27 @@ def sketch_positions(
             )
             emitted = emitted.at[..., : L - d].max(cond)
         m_val = u64.gt(ks, m1)  # value assigned to emitted[M]
-        tgt = jnp.where(m1_valid, M, 0)
-        set_mask = jnp.zeros((B, L), dtype=bool).at[rows, tgt].max(m1_valid)
-        set_val = jnp.zeros((B, L), dtype=bool).at[rows, tgt].max(m1_valid & m_val)
+        set_mask = jnp.zeros((B, L), dtype=bool)
+        set_val = jnp.zeros((B, L), dtype=bool)
+        for d in range(1, w):  # M[e] = e - d, d in [1, w-1]
+            if d >= L:
+                break
+            src = m1_valid[..., d:] & (M[..., d:] == idx[..., :-d])
+            set_mask = set_mask.at[..., : L - d].max(src)
+            set_val = set_val.at[..., : L - d].max(src & m_val[..., d:])
         emitted = jnp.where(set_mask, set_val, emitted)
 
-    # run-end drops: newest tie of the window min at each N reset is lost
+    # run-end drops: newest tie of the window min at each N reset is lost;
+    # widx[e] is within w-1 of e — same bounded shifted-OR form
     next_base = _shift_left(is_base, 1, False)
     run_end = is_base & ~next_base & (idx != lengths[:, None] - 1)
     drop_src = run_end & valid_w
-    tgt = jnp.where(drop_src, widx, 0)
-    drop_mask = jnp.zeros((B, L), dtype=bool).at[rows, tgt].max(drop_src)
+    drop_mask = drop_src & (widx == idx)
+    for d in range(1, w):
+        if d >= L:
+            break
+        src = drop_src[..., d:] & (widx[..., d:] == idx[..., :-d])
+        drop_mask = drop_mask.at[..., : L - d].max(src)
     emitted = emitted & ~drop_mask
 
     # final emission at each read's true end (sketch.rs:99)
@@ -241,15 +252,25 @@ def compact_minimizers(
     max_out: int,
 ):
     """Pack emitted minimizers to the front, position-sorted, padded to
-    max_out slots. Returns (ks, pos_strand, n_valid, overflow)."""
+    max_out slots. Returns (ks, pos_strand, n_valid, overflow).
+
+    One 4-operand lax.sort with a position key (emitted entries first, in
+    position order): XLA's TPU sort carries payload operands essentially
+    for free, while the argsort + take_along_axis alternative pays three
+    full-width row gathers (~60 ms vs ~2 ms at (4096, 1024) on v5e)."""
     B, L = emitted.shape
-    order = jnp.argsort(~emitted, axis=-1, stable=True)
-    take = order[..., :max_out]
-    out_ks = u64.U64Pair(
-        jnp.take_along_axis(ks.hi, take, axis=-1),
-        jnp.take_along_axis(ks.lo, take, axis=-1),
+    idxu = jnp.broadcast_to(jnp.arange(L, dtype=U32), (B, L))
+    skey = jnp.where(emitted, idxu, U32(1 << 31) | idxu)
+    _, s_hi, s_lo, s_ps = jax.lax.sort(
+        (skey, ks.hi, ks.lo, pos_strand), dimension=-1, num_keys=1
     )
-    out_ps = jnp.take_along_axis(pos_strand, take, axis=-1)
+    if max_out > L:
+        pad = ((0, 0), (0, max_out - L))
+        s_hi = jnp.pad(s_hi, pad, constant_values=0xFFFFFFFF)
+        s_lo = jnp.pad(s_lo, pad, constant_values=0xFFFFFFFF)
+        s_ps = jnp.pad(s_ps, pad, constant_values=0xFFFFFFFF)
+    out_ks = u64.U64Pair(s_hi[:, :max_out], s_lo[:, :max_out])
+    out_ps = s_ps[:, :max_out]
     n = jnp.sum(emitted, axis=-1).astype(I32)
     valid = jnp.arange(max_out, dtype=I32)[None, :] < jnp.minimum(n, max_out)[:, None]
     out_ks = u64.where(valid, out_ks, u64.full_like(out_ks, u64.UMAX))

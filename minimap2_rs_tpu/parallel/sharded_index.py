@@ -1,13 +1,18 @@
 """Hash-range-sharded minimizer index.
 
-For genomes whose index exceeds one chip's HBM, the flat sorted key array
+For genomes whose index exceeds one chip's HBM, the flat sorted key table
 is split into contiguous equal-count ranges — one per device along the
 mesh's "ix" axis. Because every key lives in exactly one shard's sorted
-slice, a local binary search either finds it or misses; no boundary
-bookkeeping is needed. The reference has no analog (its index always fits
-RAM as 2^b in-memory buckets, /root/reference/src/index.rs:47-50); this is
-the SURVEY.md scale-out design ("hash-range shard minimizer table across
+slice, a local lookup either finds it or misses; no boundary bookkeeping
+is needed. The reference has no analog (its index always fits RAM as 2^b
+in-memory buckets, /root/reference/src/index.rs:47-50); this is the
+SURVEY.md scale-out design ("hash-range shard minimizer table across
 chips").
+
+Each shard uses the same two-gather bucket-row layout as DeviceIndex
+(ops/index_ops.py): an interleaved (U_loc + S, 4) row table plus a
+per-shard prefix table, with uniform static (prefix_shift, bucket_slots)
+across shards so one compiled program serves every device.
 """
 
 from __future__ import annotations
@@ -18,50 +23,72 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.index_ops import DeviceIndex
+from ..ops.index_ops import _MAX_PREFIX_BITS, DeviceIndex
+
+I32 = jnp.int32
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ShardedDeviceIndex:
-    """Stacked per-shard index arrays with a leading shard axis (D, ...).
+    """Stacked per-shard index tables with a leading shard axis (D, ...).
 
     Under shard_map with in_specs P("ix") each device sees its own
-    (1, U_loc)/(1, P_loc) slice; `local()` strips the leading axis."""
+    (1, ...) slice; `local()` strips the leading axis."""
 
-    keys_hi: jnp.ndarray  # (D, U_loc)
-    keys_lo: jnp.ndarray
-    starts: jnp.ndarray   # (D, U_loc) — local offsets into the shard's positions
-    counts: jnp.ndarray
-    pos_hi: jnp.ndarray   # (D, P_loc)
-    pos_lo: jnp.ndarray
-    prefix: jnp.ndarray   # (D, 2^20 + 1) per-shard prefix lower bounds
+    kv: jnp.ndarray      # (D, U_loc + S, 4) uint32 [key_hi, key_lo, start, count]
+    pos: jnp.ndarray     # (D, P_loc, 2) uint32 [rid, pos<<1|strand]
+    prefix: jnp.ndarray  # (D, 2^bits + 1) int32 per-shard prefix lower bounds
     prefix_shift: int = 0
-    lb_steps: int = 32
+    bucket_slots: int = 8
+    n_keys_local: int = 0  # static: unpadded rows per shard (upper bound)
 
     def tree_flatten(self):
         return (
-            (self.keys_hi, self.keys_lo, self.starts, self.counts,
-             self.pos_hi, self.pos_lo, self.prefix),
-            (self.prefix_shift, self.lb_steps),
+            (self.kv, self.pos, self.prefix),
+            (self.prefix_shift, self.bucket_slots, self.n_keys_local),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, prefix_shift=aux[0], lb_steps=aux[1])
+        return cls(*children, prefix_shift=aux[0], bucket_slots=aux[1],
+                   n_keys_local=aux[2])
 
     @property
     def n_shards(self) -> int:
-        return self.keys_hi.shape[0]
+        return self.kv.shape[0]
+
+    # ---- compatibility views (padding rows carry U64-max keys) ---------
+    @property
+    def keys_hi(self) -> jnp.ndarray:
+        return self.kv[:, :, 0]
+
+    @property
+    def keys_lo(self) -> jnp.ndarray:
+        return self.kv[:, :, 1]
+
+    @property
+    def starts(self) -> jnp.ndarray:
+        return jax.lax.bitcast_convert_type(self.kv[:, :, 2], I32)
+
+    @property
+    def counts(self) -> jnp.ndarray:
+        return jax.lax.bitcast_convert_type(self.kv[:, :, 3], I32)
+
+    @property
+    def pos_hi(self) -> jnp.ndarray:
+        return self.pos[:, :, 0]
+
+    @property
+    def pos_lo(self) -> jnp.ndarray:
+        return self.pos[:, :, 1]
 
     def local(self) -> DeviceIndex:
         """Inside shard_map: this shard's slice as a plain DeviceIndex."""
         return DeviceIndex(
-            keys_hi=self.keys_hi[0], keys_lo=self.keys_lo[0],
-            starts=self.starts[0], counts=self.counts[0],
-            pos_hi=self.pos_hi[0], pos_lo=self.pos_lo[0],
-            prefix=self.prefix[0],
-            prefix_shift=self.prefix_shift, lb_steps=self.lb_steps,
+            kv=self.kv[0], pos=self.pos[0], prefix=self.prefix[0],
+            prefix_shift=self.prefix_shift, bucket_slots=self.bucket_slots,
+            n_keys=self.n_keys_local,
         )
 
     @staticmethod
@@ -89,37 +116,39 @@ class ShardedDeviceIndex:
                 p_lo = p_hi = 0
             slices.append((lo_k, hi_k, p_lo, p_hi))
             p_loc = max(p_loc, p_hi - p_lo)
-        kh = np.full((n_shards, u_loc), 0xFFFFFFFF, dtype=np.uint32)
-        kl = np.full((n_shards, u_loc), 0xFFFFFFFF, dtype=np.uint32)
-        st = np.zeros((n_shards, u_loc), dtype=np.int32)
-        ct = np.zeros((n_shards, u_loc), dtype=np.int32)
-        ph = np.zeros((n_shards, p_loc), dtype=np.uint32)
-        plo = np.zeros((n_shards, p_loc), dtype=np.uint32)
-        shift = max(0, key_bits - 20)
-        ptab = np.zeros((n_shards, (1 << 20) + 1), dtype=np.int32)
-        lb_steps = 1
+
+        prefix_bits = max(12, int(np.ceil(np.log2(u_loc + 1))) + 4)
+        prefix_bits = min(prefix_bits, _MAX_PREFIX_BITS, key_bits)
+        shift = max(0, key_bits - prefix_bits)
+        T = (1 << prefix_bits) + 1
+        ptab = np.zeros((n_shards, T), dtype=np.int32)
+        maxb = 1
+        for s, (lo_k, hi_k, _p_lo, _p_hi) in enumerate(slices):
+            kslice = (keys[lo_k:hi_k] >> np.uint64(shift)).astype(np.int64)
+            hist = np.bincount(kslice, minlength=T - 1)
+            np.cumsum(hist, out=ptab[s, 1:])
+            if hi_k > lo_k:
+                maxb = max(maxb, int(hist.max()))
+        S = 4
+        while S < maxb:
+            S *= 2
+
+        kv = np.full((n_shards, u_loc + S, 4), 0xFFFFFFFF, dtype=np.uint32)
+        kv[:, :, 3] = 0
+        pos = np.zeros((n_shards, p_loc, 2), dtype=np.uint32)
         for s, (lo_k, hi_k, p_lo, p_hi) in enumerate(slices):
             n = hi_k - lo_k
-            kslice = keys[lo_k:hi_k]
-            ptab[s] = np.searchsorted(
-                (kslice >> np.uint64(shift)).astype(np.int64),
-                np.arange((1 << 20) + 1), side="left",
-            ).astype(np.int32)
-            if n:
-                bmax = int(np.diff(ptab[s]).max())
-                lb_steps = max(lb_steps, int(np.ceil(np.log2(bmax + 1))) + 1)
             if n == 0:
                 continue
-            kh[s, :n] = (kslice >> np.uint64(32)).astype(np.uint32)
-            kl[s, :n] = (kslice & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-            st[s, :n] = (starts[lo_k:hi_k] - p_lo).astype(np.int32)
-            ct[s, :n] = counts[lo_k:hi_k].astype(np.int32)
+            kslice = keys[lo_k:hi_k]
+            kv[s, :n, 0] = (kslice >> np.uint64(32)).astype(np.uint32)
+            kv[s, :n, 1] = (kslice & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            kv[s, :n, 2] = (starts[lo_k:hi_k] - p_lo).astype(np.uint32)
+            kv[s, :n, 3] = counts[lo_k:hi_k].astype(np.uint32)
             m = p_hi - p_lo
-            ph[s, :m] = (positions[p_lo:p_hi] >> np.uint64(32)).astype(np.uint32)
-            plo[s, :m] = (positions[p_lo:p_hi] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            pos[s, :m, 0] = (positions[p_lo:p_hi] >> np.uint64(32)).astype(np.uint32)
+            pos[s, :m, 1] = (positions[p_lo:p_hi] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         return ShardedDeviceIndex(
-            keys_hi=jnp.asarray(kh), keys_lo=jnp.asarray(kl),
-            starts=jnp.asarray(st), counts=jnp.asarray(ct),
-            pos_hi=jnp.asarray(ph), pos_lo=jnp.asarray(plo),
-            prefix=jnp.asarray(ptab), prefix_shift=shift, lb_steps=lb_steps,
+            kv=jnp.asarray(kv), pos=jnp.asarray(pos), prefix=jnp.asarray(ptab),
+            prefix_shift=shift, bucket_slots=S, n_keys_local=u_loc,
         )
