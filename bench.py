@@ -52,10 +52,10 @@ def main() -> int:
     mp = MapParams()
     mapper = Mapper.from_oracle_index(idx, cp, mp, batch_size=args.batch_size)
 
-    # warmup: compile + cache (full batch shape)
-    warm = rl[: min(args.batch_size, len(rl))]
+    # warmup: compile + cache every shape the measured run will use
+    # (tier-2 overflow shapes included), then measure steady-state
     t0 = time.time()
-    mapper.map_reads(warm)
+    mapper.map_reads(rl)
     log(f"warmup (compile): {time.time()-t0:.1f}s")
 
     t0 = time.time()
