@@ -106,7 +106,7 @@ def _fused_map_stage(
     jax.jit,
     static_argnames=(
         "w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A", "window",
-        "pallas_chain",
+        "pallas_chain", "flag_window_ovf",
     ),
 )
 def _fused_map_stage_lite(
@@ -129,9 +129,10 @@ def _fused_map_stage_lite(
     A: int,
     window: int,
     pallas_chain: bool = False,
+    flag_window_ovf: bool = False,
 ):
     """Default-parameter fast path: the whole pipeline INCLUDING chain
-    finalization on device; output is (B, 32) int32 PAF fields — the
+    finalization on device; output is (B, 34) int32 PAF fields — the
     normal-band fields (ops/finalize_ops.py) then the bw_long wide-band
     fields. The chain kernel accumulates per-chain statistics along the
     prev path, so no backtracking exists anywhere; computing BOTH bands
@@ -158,6 +159,23 @@ def _fused_map_stage_lite(
         x_hi, x_lo.astype(I32), y_lo.astype(I32),
         (y_hi & jnp.uint32(0xFF)).astype(I32),
     )
+    # exact window-truncation detector: with anchors sorted by x, a
+    # predecessor farther than `window` slots can pass the reference's
+    # max_dist_x gate (lchain.rs:75) only if x[i] - x[i-window] <= mdx;
+    # flagged reads re-run with the full max_chain_iter window
+    win_ovf = None
+    if flag_window_ovf and A > window:
+        from ..ops import u64 as _u64
+
+        xa = _u64.U64Pair(x_hi, x_lo)
+        thr = _u64.sub_u32(xa, scalars.max_dist_x)
+        far = _u64.le(
+            _u64.U64Pair(thr.hi[:, window:], thr.lo[:, window:]),
+            _u64.U64Pair(x_hi[:, :-window], x_lo[:, :-window]),
+        )
+        slot = jnp.arange(window, A, dtype=I32)[None, :]
+        far = far & (slot < n_anchors[:, None])
+        win_ovf = jnp.any(far, axis=1)
     fields = []
     for scal in (scalars, scalars_wide):
         f, cnt, sq, sr = _chain_fn(*args, scal, window)
@@ -165,6 +183,7 @@ def _fused_map_stage_lite(
             f, cnt, sq, sr, x_hi, x_lo, y_lo, n_anchors,
             mini_pos, n_mini, lengths, tlens, mini_ovf, anc_ovf,
             k, rmq_rescue_size, rmq_rescue_ratio,
+            win_ovf=win_ovf,
         ))
     return jnp.concatenate(fields, axis=1)
 
@@ -299,7 +318,8 @@ class Mapper:
         # XLA-hoisted constant parameters on repeat calls ("supplied N,
         # expected N+1 buffers"); ahead-of-time executables own their
         # constants and marshal correctly.
-        key = (codes.shape, M, A, window, _use_pallas_chain())
+        flag_wovf = window < min(self.cp.max_chain_iter, A)
+        key = (codes.shape, M, A, window, flag_wovf, _use_pallas_chain())
         args = (
             self.dev_idx, codes, lengths, scalars, self._scalars_wide,
             jnp.int32(self.mid_occ),
@@ -312,6 +332,7 @@ class Mapper:
                 w=self.idx.w, k=self.idx.k, hpc=bool(self.idx.flag & 1),
                 q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
                 M=M, A=A, window=window, pallas_chain=key[-1],
+                flag_window_ovf=flag_wovf,
             )
             self._lite_exec[key] = lowered.compile()
         return self._lite_exec[key](*args)
@@ -347,7 +368,7 @@ class Mapper:
         for bi, ri in enumerate(chunk):
             qname, qseq = reads[ri]
             row = rows[bi]
-            if row[col["mini_ovf"]] or row[col["anc_ovf"]]:
+            if row[col["mini_ovf"]] or row[col["anc_ovf"]] or row[col["win_ovf"]]:
                 if mode == "normal":
                     self._tier2_queue.append(ri)
                 else:
@@ -432,13 +453,17 @@ class Mapper:
         return [line for i in range(len(reads)) for line in results.get(i, [])]
 
     def _shapes_for(self, bucket: int, mult: int):
-        """Padded capacities and reads-per-call for a length bucket."""
+        """Padded capacities and reads-per-call for a length bucket.
+        The chain kernel grids itself over VMEM-sized batch blocks, so B
+        only controls how much work (and host sync amortization) one
+        device call carries."""
         lane = lambda v: max(128, -(-int(v) // 128) * 128)
         M = min(lane(bucket * self.mini_frac * mult), lane(bucket))
         A = lane(bucket * self.anchor_frac * mult)
         window = min(self.cp.max_chain_iter, A)
         B = min(self.batch_size, max(8, self.slot_target // A))
-        B = -(-B // 8) * 8
+        # multiple of 128 when blocked (Mosaic lane constraint), else of 8
+        B = B // 128 * 128 if B >= 128 else -(-B // 8) * 8
         return M, A, window, B
 
     def _submit_groups(self, reads, groups, scalars, lite, mult=None):
@@ -448,6 +473,12 @@ class Mapper:
         for gkey, idxs in groups.items():
             bucket, gmult = gkey if mult is None else (gkey, mult)
             M, A, window, B = self._shapes_for(bucket, gmult)
+            if lite and gmult == 1:
+                # long-read fast path: most data needs far fewer than
+                # max_chain_iter predecessors; the lite stage flags the
+                # rare reads that don't (win_ovf) and they re-run at the
+                # full window in the 4x tier
+                window = min(window, 2048)
             for c0 in range(0, len(idxs), B):
                 chunk = idxs[c0 : c0 + B]
                 # pad the batch dimension to a fixed size so every call

@@ -35,10 +35,13 @@ I32 = jnp.int32
 U32 = jnp.uint32
 _NEG = -(2**30)
 
-# output field order (finalize_from_aux)
+# output field order (finalize_from_aux); win_ovf flags reads whose
+# chain window was truncated below the reference's max_chain_iter while
+# a farther in-band predecessor exists (models/mapper.py re-runs them)
 FIELDS = [
     "score", "qs", "qe", "ts", "te", "cm", "grp", "n_match", "st", "n_tot",
     "dv_found", "rescue", "n_anchors", "n_mini", "mini_ovf", "anc_ovf",
+    "win_ovf",
 ]
 
 
@@ -73,8 +76,9 @@ def finalize_from_aux(
     mini_ovf, anc_ovf,         # (B,) bool
     k: int,
     rmq_rescue_size, rmq_rescue_ratio,
+    win_ovf=None,              # (B,) bool or None
 ):
-    """Returns the packed (B, 16) int32 field array (see FIELDS)."""
+    """Returns the packed (B, 17) int32 field array (see FIELDS)."""
     B, A = f.shape
     a_idx = jnp.broadcast_to(jnp.arange(A, dtype=I32), (B, A))
     valid = a_idx < n_anchors[:, None]
@@ -135,11 +139,13 @@ def finalize_from_aux(
         < qlen.astype(jnp.float32) * (jnp.float32(1.0) - rmq_rescue_ratio)
     )
 
+    if win_ovf is None:
+        win_ovf = jnp.zeros((B,), bool)
     return jnp.stack(
         [
             score, qs, qe, ts, te, cm, grp, n_match, st, n_tot,
             dv_found.astype(I32), rescue.astype(I32), n_anchors, n_mini,
-            mini_ovf.astype(I32), anc_ovf.astype(I32),
+            mini_ovf.astype(I32), anc_ovf.astype(I32), win_ovf.astype(I32),
         ],
         axis=1,
     )

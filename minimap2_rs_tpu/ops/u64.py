@@ -67,6 +67,14 @@ def add_u32(a: U64Pair, b: jnp.ndarray) -> U64Pair:
     return U64Pair(a.hi + carry, lo)
 
 
+def sub_u32(a: U64Pair, b: jnp.ndarray) -> U64Pair:
+    """a - b for a 32-bit b (wrapping, like Rust u64 arithmetic)."""
+    b = b.astype(_U32)
+    lo = a.lo - b
+    borrow = (a.lo < b).astype(_U32)
+    return U64Pair(a.hi - borrow, lo)
+
+
 def xor(a: U64Pair, b: U64Pair) -> U64Pair:
     return U64Pair(a.hi ^ b.hi, a.lo ^ b.lo)
 
