@@ -168,7 +168,7 @@ def _fused_map_stage_lite(
         from ..ops import u64 as _u64
 
         xa = _u64.U64Pair(x_hi, x_lo)
-        thr = _u64.sub_u32(xa, scalars.max_dist_x)
+        thr = _u64.sub_u32_sat(xa, scalars.max_dist_x)
         far = _u64.le(
             _u64.U64Pair(thr.hi[:, window:], thr.lo[:, window:]),
             _u64.U64Pair(x_hi[:, :-window], x_lo[:, :-window]),

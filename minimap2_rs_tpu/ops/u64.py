@@ -75,6 +75,18 @@ def sub_u32(a: U64Pair, b: jnp.ndarray) -> U64Pair:
     return U64Pair(a.hi - borrow, lo)
 
 
+def sub_u32_sat(a: U64Pair, b: jnp.ndarray) -> U64Pair:
+    """max(a - b, 0) for a 32-bit b (saturating at zero)."""
+    b = b.astype(_U32)
+    neg = (a.hi == 0) & (a.lo < b)
+    lo = a.lo - b
+    borrow = (a.lo < b).astype(_U32)
+    return U64Pair(
+        jnp.where(neg, _U32(0), a.hi - borrow),
+        jnp.where(neg, _U32(0), lo),
+    )
+
+
 def xor(a: U64Pair, b: U64Pair) -> U64Pair:
     return U64Pair(a.hi ^ b.hi, a.lo ^ b.lo)
 
