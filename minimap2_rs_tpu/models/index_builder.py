@@ -43,7 +43,7 @@ def build_index_device(
         off += len(s)
     codes = np.concatenate([c for _, c in recs]) if recs else np.zeros(0, np.uint8)
     S = seq4_pack(codes)
-    fkeys, starts, counts, positions = _flatten(keys, rps)
+    fkeys, starts, counts, positions = _flatten(keys, rps, presorted=True)
     return OracleIndex(
         w=params.w, k=params.k, b=params.bucket_bits, flag=params.flag,
         n_seq=len(records), seq=seqs, S=S,

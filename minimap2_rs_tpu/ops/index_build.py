@@ -61,7 +61,7 @@ def plan_chunks(seq_lens: list[int], chunk: int, w: int, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("w", "k", "is_hpc", "max_out"))
-def sketch_chunk_batch(
+def sketch_chunk_flat(
     codes: jnp.ndarray,     # (B, C) nt4 codes (chunk content incl. halos)
     content: jnp.ndarray,   # (B,) content lengths
     own_start: jnp.ndarray, # (B,) local start of owned range
@@ -75,38 +75,42 @@ def sketch_chunk_batch(
     max_out: int,
 ):
     """Sketch chunk rows, mask to owned positions, convert to global
-    coordinates, compact. Returns (key pairs, rps pairs, n, overflow)."""
+    coordinates, and compact the WHOLE batch into one flat (max_out,)
+    buffer per column via a single payload sort (padding is U32-max and
+    sorts to the end). Returns (kh, kl, rh, rl, n_total, overflow); keys
+    already have the span byte dropped (index.rs:71)."""
     B, C = codes.shape
     ks, ps, emitted = sketch_positions(codes, content, w, k, is_hpc, emit_final)
     idx = jnp.broadcast_to(jnp.arange(C, dtype=I32), (B, C))
     owned = (idx >= own_start[:, None]) & (idx < (own_start + own_len)[:, None])
     emitted = emitted & owned
+    key = u64.shr(ks, 8)  # drop the span byte
     # global position: local pos + seq_off (ps packs pos<<1|strand)
     gpos = ps + (seq_off[:, None].astype(U32) << U32(1))
     rps_hi = jnp.broadcast_to(rid[:, None].astype(U32), (B, C))
-    # compact per row
-    order = jnp.argsort(~emitted, axis=-1, stable=True)
-    take = order[..., :max_out]
-    out_kh = jnp.take_along_axis(ks.hi, take, axis=-1)
-    out_kl = jnp.take_along_axis(ks.lo, take, axis=-1)
-    out_rh = jnp.take_along_axis(rps_hi, take, axis=-1)
-    out_rl = jnp.take_along_axis(gpos, take, axis=-1)
-    n = jnp.sum(emitted, axis=-1).astype(I32)
-    slot = jnp.arange(max_out, dtype=I32)[None, :]
-    valid = slot < jnp.minimum(n, max_out)[:, None]
-    out_kh = jnp.where(valid, out_kh, U32(0xFFFFFFFF))
-    out_kl = jnp.where(valid, out_kl, U32(0xFFFFFFFF))
-    out_rh = jnp.where(valid, out_rh, U32(0xFFFFFFFF))
-    out_rl = jnp.where(valid, out_rl, U32(0xFFFFFFFF))
-    return out_kh, out_kl, out_rh, out_rl, n, n > max_out
+    sentinel = U32(0xFFFFFFFF)
+    flat = lambda a, m: jnp.where(m, a, sentinel).reshape(-1)
+    skey = (~emitted).astype(U32).reshape(-1)
+    _, kh, kl, rh, rl = jax.lax.sort(
+        (skey, flat(key.hi, emitted), flat(key.lo, emitted),
+         flat(rps_hi, emitted), flat(gpos, emitted)),
+        dimension=-1, num_keys=1,
+    )
+    n = jnp.sum(emitted).astype(I32)
+    return (
+        kh[:max_out], kl[:max_out], rh[:max_out], rl[:max_out],
+        n, n > max_out,
+    )
 
 
-@jax.jit
 def sort_minimizer_pairs(kh, kl, rh, rl):
     """Global 4-key sort of flat minimizer arrays: by hashed key then by
     rid_pos_strand — exactly the order of the reference's per-key
     position sort (index.rs:79,98). Padding (all-ones) lands at the end."""
     return jax.lax.sort((kh, kl, rh, rl), dimension=-1, num_keys=4)
+
+
+_sort_minimizer_pairs = jax.jit(sort_minimizer_pairs)
 
 
 def build_sorted_pairs_device(
@@ -120,18 +124,23 @@ def build_sorted_pairs_device(
     """Sketch all sequences on device, chunked; returns host uint64 arrays
     (keys, rid_pos_strand) globally sorted by (key, value).
 
-    Note: key_span's low 8 bits (span) are dropped — the index stores
-    hashed keys only (index.rs:71)."""
+    All batches stay on device (async dispatch, no per-batch sync); the
+    global sort runs on device and ONE transfer pulls the result — the
+    host<->device relay is latency- and bandwidth-bound, so transfer
+    count and bytes dominate this path's wall time."""
     halo = w + k
     C = chunk + 2 * halo
-    # minimizer density is ~2/(w+1); cap generously
-    max_out = int(C * 0.7)
+    # minimizer density is ~2/(w+1) ~= 0.18 at w=10; 0.3 is a safe cap
+    # for the batch-flat buffer (overflow is detected and raises)
+    max_out = int(batch_rows * C * 0.3) // 8 * 8
     plan = plan_chunks([len(c) for _, c in records], chunk, w, k)
-    outs = []
+    bufs = []
+    ns = []
+    ovfs = []
     for b0 in range(0, len(plan), batch_rows):
         rows = plan[b0 : b0 + batch_rows]
         B = batch_rows
-        codes = np.full((B, C), 4, dtype=np.int32)
+        codes = np.full((B, C), 4, dtype=np.uint8)
         content = np.zeros(B, dtype=np.int32)
         own_start = np.zeros(B, dtype=np.int32)
         own_len = np.zeros(B, dtype=np.int32)
@@ -147,24 +156,31 @@ def build_sorted_pairs_device(
             seq_off[bi] = arr_start
             rid_arr[bi] = records[rid][0]
             emit_final[bi] = is_last
-        kh, kl, rh, rl, n, ovf = sketch_chunk_batch(
+        kh, kl, rh, rl, n, ovf = sketch_chunk_flat(
             jnp.asarray(codes), jnp.asarray(content), jnp.asarray(own_start),
             jnp.asarray(own_len), jnp.asarray(seq_off), jnp.asarray(rid_arr),
             jnp.asarray(emit_final), w, k, is_hpc, max_out,
         )
-        if bool(np.asarray(ovf).any()):
-            raise RuntimeError("minimizer overflow in index chunk; raise max_out")
-        n = np.asarray(n)
-        kh, kl, rh, rl = (np.asarray(a) for a in (kh, kl, rh, rl))
-        for bi in range(min(len(rows), B)):
-            m = int(n[bi])
-            # drop span: key = key_span >> 8
-            key = ((kh[bi, :m].astype(np.uint64) << np.uint64(32)) | kl[bi, :m]) >> np.uint64(8)
-            rps = (rh[bi, :m].astype(np.uint64) << np.uint64(32)) | rl[bi, :m]
-            outs.append((key, rps))
-    if not outs:
+        bufs.append((kh, kl, rh, rl))
+        ns.append(n)
+        ovfs.append(ovf)
+    if not bufs:
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint64)
-    keys = np.concatenate([o[0] for o in outs])
-    rps = np.concatenate([o[1] for o in outs])
-    order = np.lexsort((rps, keys))
-    return keys[order], rps[order]
+    if bool(np.asarray(jnp.stack(ovfs)).any()):
+        raise RuntimeError("minimizer overflow in index chunk; raise max_out")
+    total = int(np.asarray(jnp.stack(ns)).sum())
+    cat = [jnp.concatenate([b[i] for b in bufs]) for i in range(4)]
+    srt = _sort_minimizer_pairs(*cat)
+    # transfer only real entries (padding sorted to the end), rounded to
+    # 1M-element steps so the slice programs stay cacheable; for k <= 16
+    # the key's high word is zero and never shipped
+    tpad = min(cat[0].shape[0], -(-max(total, 1) // (1 << 20)) * (1 << 20))
+    srt = [a[:tpad] for a in srt]
+    if 2 * k > 32:
+        kh = np.asarray(srt[0])[:total].astype(np.uint64)
+    else:
+        kh = 0
+    kl, rh, rl = (np.asarray(a)[:total] for a in srt[1:])
+    keys = (kh << np.uint64(32)) | kl if 2 * k > 32 else kl.astype(np.uint64)
+    rps = (rh.astype(np.uint64) << np.uint64(32)) | rl
+    return keys, rps

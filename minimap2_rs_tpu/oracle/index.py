@@ -350,17 +350,21 @@ class OracleIndex:
         )
 
 
-def _flatten(mkeys: np.ndarray, mpos: np.ndarray):
+def _flatten(mkeys: np.ndarray, mpos: np.ndarray, presorted: bool = False):
     """Sort (key, value) pairs and compress into flat index arrays. The
     value sort within a key block matches the reference's per-key
-    sort_unstable (index.rs:98)."""
+    sort_unstable (index.rs:98). presorted=True skips the lexsort (the
+    device build returns globally sorted pairs)."""
     if mkeys.shape[0] == 0:
         z64 = np.zeros(0, dtype=np.uint64)
         zi = np.zeros(0, dtype=np.int64)
         return z64, zi, zi.copy(), z64.copy()
-    order = np.lexsort((mpos, mkeys))
-    sk = mkeys[order]
-    sp = mpos[order]
+    if presorted:
+        sk, sp = mkeys, mpos
+    else:
+        order = np.lexsort((mpos, mkeys))
+        sk = mkeys[order]
+        sp = mpos[order]
     boundary = np.empty(sk.shape[0], dtype=bool)
     boundary[0] = True
     boundary[1:] = sk[1:] != sk[:-1]
