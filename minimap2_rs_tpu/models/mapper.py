@@ -140,7 +140,8 @@ def _fused_map_stage_lite(
     round-trip (lchain.rs:321-330) entirely — the host just switches to
     the wide row when the normal row's rescue flag is set.
     Valid when min_cnt >= 2 (the reference backtrack always takes its
-    greedy single-chain fallback) and non-HPC (spans are uniformly k)."""
+    greedy single-chain fallback); HPC spans ride along in y_hi and the
+    sum_span field."""
     from ..ops.finalize_ops import finalize_from_aux
 
     ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
@@ -176,6 +177,16 @@ def _fused_map_stage_lite(
         slot = jnp.arange(window, A, dtype=I32)[None, :]
         far = far & (slot < n_anchors[:, None])
         win_ovf = jnp.any(far, axis=1)
+    if hpc:
+        spans = (y_hi & jnp.uint32(0xFF)).astype(I32)
+        mslot = jnp.arange(M, dtype=I32)[None, :]
+        sum_span = jnp.sum(
+            jnp.where(mslot < n_mini[:, None], (cks.lo & jnp.uint32(0xFF)).astype(I32), 0),
+            axis=1,
+        )
+    else:
+        spans = None
+        sum_span = None
     fields = []
     for scal in (scalars, scalars_wide):
         f, cnt, sq, sr = _chain_fn(*args, scal, window)
@@ -183,7 +194,7 @@ def _fused_map_stage_lite(
             f, cnt, sq, sr, x_hi, x_lo, y_lo, n_anchors,
             mini_pos, n_mini, lengths, tlens, mini_ovf, anc_ovf,
             k, rmq_rescue_size, rmq_rescue_ratio,
-            win_ovf=win_ovf,
+            win_ovf=win_ovf, spans=spans, sum_span=sum_span,
         ))
     return jnp.concatenate(fields, axis=1)
 
@@ -281,10 +292,14 @@ class Mapper:
     # ------------------------------------------------------------------
 
     def _device_stage(self, codes, lengths, M, A, scalars: ChainScalars, window: int):
-        """The fused device pipeline for one padded batch."""
+        """The fused device pipeline for one padded batch.
+
+        Queries are ALWAYS sketched non-HPC — the reference hard-codes
+        is_hpc=false for query minimizers even against an HPC index
+        (seeds.rs:7-11), so anchor spans are uniformly k."""
         return _fused_map_stage(
             self.dev_idx, codes, lengths, scalars, jnp.int32(self.mid_occ),
-            w=self.idx.w, k=self.idx.k, hpc=bool(self.idx.flag & 1),
+            w=self.idx.w, k=self.idx.k, hpc=False,
             q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
             M=M, A=A, window=window,
             pallas_chain=_use_pallas_chain(),
@@ -293,13 +308,13 @@ class Mapper:
     def _lite_eligible(self) -> bool:
         """The on-device finalization path is valid when the reference
         backtrack necessarily takes its greedy single-chain fallback
-        (min_cnt >= 2; see ops/finalize_ops.py) and spans are uniform
-        (non-HPC). MM2T_NO_LITE forces the general path."""
+        (min_cnt >= 2; see ops/finalize_ops.py). MM2T_NO_LITE forces the
+        general path."""
         import os
 
         if os.environ.get("MM2T_NO_LITE"):
             return False
-        return self.cp.min_cnt >= 2 and not (self.idx.flag & 1)
+        return self.cp.min_cnt >= 2
 
     def _ensure_meta(self):
         if not hasattr(self, "_tlens"):
@@ -327,9 +342,11 @@ class Mapper:
             jnp.float32(self.cp.rmq_rescue_ratio),
         )
         if key not in self._lite_exec:
+            # hpc=False always: the reference sketches queries non-HPC
+            # even against an HPC index (seeds.rs:7-11)
             lowered = _fused_map_stage_lite.lower(
                 *args,
-                w=self.idx.w, k=self.idx.k, hpc=bool(self.idx.flag & 1),
+                w=self.idx.w, k=self.idx.k, hpc=False,
                 q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
                 M=M, A=A, window=window, pallas_chain=key[-1],
                 flag_window_ovf=flag_wovf,
@@ -350,10 +367,13 @@ class Mapper:
         nf = len(FIELDS)
         resc = fields[:, col["rescue"]] != 0
         fields = np.where(resc[:, None], fields[:, nf:], fields[:, :nf])
-        kf = np.float32(max(float(self.idx.k), 1.0))
         # dv for the whole batch in one vectorized float32 pass (bit-equal
         # to the reference's scalar f32 math), and bulk int conversion —
         # per-element numpy scalar access dominates an interpreted loop
+        avg_k = fields[:, col["sum_span"]].astype(np.float32) / np.maximum(
+            fields[:, col["n_mini"]], 1
+        ).astype(np.float32)
+        kf = np.maximum(avg_k, np.float32(1.0))
         frac = fields[:, col["n_match"]].astype(np.float32) / np.maximum(
             fields[:, col["n_tot"]], 1
         ).astype(np.float32)
@@ -509,7 +529,7 @@ class Mapper:
                 self._postprocess_lite(reads, chunk, fields, results, mode=mode)
             else:
                 out = _unpack_map_stage(
-                    np.asarray(packed), M, A, hpc=bool(self.idx.flag & 1)
+                    np.asarray(packed), M, A, hpc=False
                 )
                 t2 = _time.time()
                 self._postprocess(reads, chunk, out, results, window)

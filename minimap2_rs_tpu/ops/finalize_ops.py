@@ -37,11 +37,13 @@ _NEG = -(2**30)
 
 # output field order (finalize_from_aux); win_ovf flags reads whose
 # chain window was truncated below the reference's max_chain_iter while
-# a farther in-band predecessor exists (models/mapper.py re-runs them)
+# a farther in-band predecessor exists (models/mapper.py re-runs them);
+# sum_span is the minimizer-stream span total for the dv exponent
+# (avg_k, paf.rs:163-166 — equal to n_mini * k when not HPC)
 FIELDS = [
     "score", "qs", "qe", "ts", "te", "cm", "grp", "n_match", "st", "n_tot",
     "dv_found", "rescue", "n_anchors", "n_mini", "mini_ovf", "anc_ovf",
-    "win_ovf",
+    "win_ovf", "sum_span",
 ]
 
 
@@ -77,8 +79,10 @@ def finalize_from_aux(
     k: int,
     rmq_rescue_size, rmq_rescue_ratio,
     win_ovf=None,              # (B,) bool or None
+    spans=None,                # (B, A) int32 anchor spans, or None (== k)
+    sum_span=None,             # (B,) int32 minimizer-stream span total
 ):
-    """Returns the packed (B, 17) int32 field array (see FIELDS)."""
+    """Returns the packed (B, 18) int32 field array (see FIELDS)."""
     B, A = f.shape
     a_idx = jnp.broadcast_to(jnp.arange(A, dtype=I32), (B, A))
     valid = a_idx < n_anchors[:, None]
@@ -107,15 +111,35 @@ def finalize_from_aux(
     qpos_b = jax.lax.bitcast_convert_type(at_best(y_lo), I32)
     rpos_b = jax.lax.bitcast_convert_type(at_best(x_lo), I32)
 
-    # extents: spans are uniformly k (non-HPC), qpos/rpos strictly
-    # increase along a chain, so start/end anchors bound the ranges
-    qs = jnp.maximum(sq_b - (k - 1), 0)
+    # anchor spans: uniformly k unless HPC; the chain-start anchor is
+    # recovered by matching (grp, rpos, qpos) == (grp, sr, sq) — chains
+    # have strictly increasing positions so the match is unique (up to
+    # exact duplicate anchors, which share the span)
+    if spans is None:
+        span_b = jnp.full((B,), k, I32)
+        span_s = span_b
+    else:
+        span_b = at_best(spans)
+        grp_w = jax.lax.bitcast_convert_type(x_hi, I32)
+        rpos_w = jax.lax.bitcast_convert_type(x_lo, I32)
+        qpos_w = jax.lax.bitcast_convert_type(y_lo, I32)
+        m = (
+            valid
+            & (grp_w == grp[:, None])
+            & (rpos_w == sr_b[:, None])
+            & (qpos_w == sq_b[:, None])
+        )
+        span_s = jnp.max(jnp.where(m, spans, 0), axis=1)
+
+    # extents: qpos/rpos strictly increase along a chain, so start/end
+    # anchors bound the ranges
+    qs = jnp.maximum(sq_b - (span_s - 1), 0)
     qe = qpos_b + 1
-    ts = jnp.maximum(sr_b - (k - 1), 0)
+    ts = jnp.maximum(sr_b - (span_s - 1), 0)
     te = rpos_b + 1
 
-    qfwd_best = jnp.where(rev == 1, qlen - 1 - (qpos_b + 1 - k), qpos_b)
-    qfwd_start = jnp.where(rev == 1, qlen - 1 - (sq_b + 1 - k), sq_b)
+    qfwd_best = jnp.where(rev == 1, qlen - 1 - (qpos_b + 1 - span_b), qpos_b)
+    qfwd_start = jnp.where(rev == 1, qlen - 1 - (sq_b + 1 - span_s), sq_b)
     first = jnp.minimum(qfwd_best, qfwd_start)
     last = jnp.maximum(qfwd_best, qfwd_start)
     first_u = jax.lax.bitcast_convert_type(jnp.clip(first, 0, (1 << 24) - 1), U32)
@@ -128,7 +152,12 @@ def finalize_from_aux(
     n_tot = en - st + 1
     r_qs = jnp.where(rev == 1, qlen - qe, qs)
     r_qe = jnp.where(rev == 1, qlen - qs, qe)
-    kk = jnp.int32(k)
+    # the border test uses the truncated average span (paf.rs:192-196);
+    # exactly k when spans are uniform
+    if sum_span is None:
+        sum_span = n_mini * jnp.int32(k)
+    avg_k = sum_span.astype(jnp.float32) / jnp.maximum(n_mini, 1).astype(jnp.float32)
+    kk = avg_k.astype(I32)
     n_tot = n_tot + ((r_qs > kk) & (ts > kk)).astype(I32)
     n_tot = n_tot + (((qlen - r_qe) > kk) & ((tlen - te) > kk)).astype(I32)
 
@@ -146,6 +175,7 @@ def finalize_from_aux(
             score, qs, qe, ts, te, cm, grp, n_match, st, n_tot,
             dv_found.astype(I32), rescue.astype(I32), n_anchors, n_mini,
             mini_ovf.astype(I32), anc_ovf.astype(I32), win_ovf.astype(I32),
+            sum_span,
         ],
         axis=1,
     )

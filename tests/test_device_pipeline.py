@@ -123,3 +123,23 @@ def test_multi_chromosome_parity():
     tnames = {l.split("\t")[0]: l.split("\t")[5] for l in dev}
     for name, t in tnames.items():
         assert t == f"c{int(name[1]) + 1}", (name, t)
+
+
+def test_device_paf_identical_to_host_hpc():
+    """HPC index (-H): the lite path carries variable spans via y_hi and
+    the sum_span field; output must still match the host oracle."""
+    genome = random_genome(60_000, seed=6)
+    idx = build_index([("chrH", genome)], IndexParams(w=W, k=K, flag=1))
+    cp = ChainParams.defaults_for_k(K)
+    mp = MapParams()
+    mapper = Mapper.from_oracle_index(
+        idx, cp, mp, buckets=(256, 512), batch_size=8, mini_frac=0.6, anchor_frac=1.0
+    )
+    reads = simulate_reads(genome, 12, read_len=(150, 450), seed=7)
+    # a homopolymer-rich read stresses the HPC spans
+    reads.append(("hp", genome[1000:1100] + b"A" * 60 + genome[1200:1400]))
+    rl = [(n, s) for n, s, *_ in reads[:-1]] + [reads[-1]]
+    rl = [(n, s) for n, s, *_ in reads]
+    host = map_reads(idx, rl, cp, mp)
+    dev = mapper.map_reads(rl)
+    assert dev == host
