@@ -132,9 +132,10 @@ def _fused_map_stage_lite(
     flag_window_ovf: bool = False,
 ):
     """Default-parameter fast path: the whole pipeline INCLUDING chain
-    finalization on device; output is (B, 34) int32 PAF fields — the
-    normal-band fields (ops/finalize_ops.py) then the bw_long wide-band
-    fields. The chain kernel accumulates per-chain statistics along the
+    finalization on device; output is (B, 18) int32 PAF fields
+    (ops/finalize_ops.py), already switched to the bw_long wide-band
+    result for reads whose normal-band rescue flag fired.
+    The chain kernel accumulates per-chain statistics along the
     prev path, so no backtracking exists anywhere; computing BOTH bands
     up front costs ~8 ms per call and removes the separate rescue
     round-trip (lchain.rs:321-330) entirely — the host just switches to
@@ -196,7 +197,13 @@ def _fused_map_stage_lite(
             k, rmq_rescue_size, rmq_rescue_ratio,
             win_ovf=win_ovf, spans=spans, sum_span=sum_span,
         ))
-    return jnp.concatenate(fields, axis=1)
+    # resolve the rescue switch on device: ship one (B, 18) row per read
+    # (D2H bandwidth through the relay is ~24 MB/s, so halving the
+    # payload is worth more than the flag's debuggability)
+    from ..ops.finalize_ops import FIELDS
+
+    resc = fields[0][:, FIELDS.index("rescue")] != 0
+    return jnp.where(resc[:, None], fields[1], fields[0])
 
 
 def _use_pallas_chain() -> bool:
@@ -364,9 +371,6 @@ class Mapper:
 
         self._ensure_meta()
         col = {name: i for i, name in enumerate(FIELDS)}
-        nf = len(FIELDS)
-        resc = fields[:, col["rescue"]] != 0
-        fields = np.where(resc[:, None], fields[:, nf:], fields[:, :nf])
         # dv for the whole batch in one vectorized float32 pass (bit-equal
         # to the reference's scalar f32 math), and bulk int conversion —
         # per-element numpy scalar access dominates an interpreted loop
@@ -507,10 +511,15 @@ class Mapper:
                 # relay are latency+bandwidth bound
                 codes = np.full((B, bucket), 4, dtype=np.uint8)
                 lengths = np.zeros(B, dtype=np.int32)
+                # one LUT pass over the whole chunk, then row memcpys —
+                # per-read nt4_encode calls pay numpy dispatch each
+                enc = nt4_encode(b"".join(reads[ri][1] for ri in chunk))
+                off = 0
                 for bi, ri in enumerate(chunk):
-                    s = reads[ri][1]
-                    codes[bi, : len(s)] = nt4_encode(s)
-                    lengths[bi] = len(s)
+                    n = len(reads[ri][1])
+                    codes[bi, :n] = enc[off : off + n]
+                    off += n
+                    lengths[bi] = n
                 stage = self._device_stage_lite if lite else self._device_stage
                 packed = stage(
                     jnp.asarray(codes), jnp.asarray(lengths), M, A, scalars, window

@@ -50,13 +50,18 @@ class DeviceIndex:
     kv: jnp.ndarray      # (U + S, 4) uint32 rows [key_hi, key_lo, start, count]
     pos: jnp.ndarray     # (P, 2) uint32 rows [rid, pos<<1|strand]
     prefix: jnp.ndarray  # (2^prefix_bits + 1,) int32 lower bounds by key prefix
+    # (U + S, 4*S) row-replicated copy of kv (row i holds rows i..i+S-1):
+    # a bucket lookup becomes ONE wide gather instead of S row gathers —
+    # gather cost on TPU is per-element, nearly independent of slice
+    # width. Empty (0, x) when the 4x memory trade is not taken.
+    kv_wide: jnp.ndarray = None
     prefix_shift: int = 0   # static: key >> shift yields the prefix
     bucket_slots: int = 8   # static: rows fetched per lookup (>= max bucket)
     n_keys: int = 0         # static: number of real (unpadded) key rows
 
     def tree_flatten(self):
         return (
-            (self.kv, self.pos, self.prefix),
+            (self.kv, self.pos, self.prefix, self.kv_wide),
             (self.prefix_shift, self.bucket_slots, self.n_keys),
         )
 
@@ -102,10 +107,18 @@ class DeviceIndex:
             pos_np[:] = 0
         kv_np[: keys.shape[0], 2] = starts.astype(np.uint32)
         kv_np[: keys.shape[0], 3] = counts.astype(np.uint32)
+        N = kv_np.shape[0]
+        if S <= 8 and N * S * 16 <= (2 << 30):
+            kvp = np.vstack([kv_np, np.full((S, 4), 0xFFFFFFFF, np.uint32)])
+            kvp[N:, 3] = 0
+            kv_wide = np.hstack([kvp[j : j + N] for j in range(S)])
+        else:
+            kv_wide = np.zeros((0, 4 * S), dtype=np.uint32)
         return DeviceIndex(
             kv=jnp.asarray(kv_np),
             pos=jnp.asarray(pos_np),
             prefix=jnp.asarray(prefix_np),
+            kv_wide=jnp.asarray(kv_wide),
             prefix_shift=shift,
             bucket_slots=S,
             n_keys=int(keys.shape[0]),
@@ -163,7 +176,12 @@ def index_lookup(idx: DeviceIndex, q: U64Pair):
     p = u64.shr(q, idx.prefix_shift).lo.astype(I32)
     p = jnp.clip(p, 0, idx.prefix.shape[0] - 2)
     base = idx.prefix[p]
-    rows = gather_rows(idx.kv, base, idx.bucket_slots)  # (..., S, 4)
+    S = idx.bucket_slots
+    if idx.kv_wide is not None and idx.kv_wide.shape[0]:
+        wide = gather_rows(idx.kv_wide, base, 1)  # (..., 1, 4*S)
+        rows = wide.reshape(*base.shape, S, 4)
+    else:
+        rows = gather_rows(idx.kv, base, S)  # (..., S, 4)
     hit = (rows[..., 0] == q.hi[..., None]) & (rows[..., 1] == q.lo[..., None])
     start = jnp.max(jnp.where(hit, rows[..., 2], U32(0)), axis=-1)
     count = jnp.max(jnp.where(hit, rows[..., 3], U32(0)), axis=-1)
