@@ -45,11 +45,25 @@ def _combine64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
 
 
+def _unpack_codes4(codes4: jnp.ndarray) -> jnp.ndarray:
+    """(B, L//2) uint8 two-nibble packed nt4 codes -> (B, L) int32.
+    Host->device transfers ride a ~115 MB/s relay, so halving the wire
+    bytes is worth the (fused, free) device-side unpack."""
+    B = codes4.shape[0]
+    lo = (codes4 & jnp.uint8(0xF)).astype(jnp.int32)
+    hi = (codes4 >> 4).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=-1).reshape(B, codes4.shape[1] * 2)
+
+
+def _pack_codes4_host(codes: np.ndarray) -> np.ndarray:
+    return codes[:, 0::2] | (codes[:, 1::2] << 4)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A", "window",
-        "pallas_chain",
+        "pallas_chain", "packed",
     ),
 )
 def _fused_map_stage(
@@ -68,8 +82,11 @@ def _fused_map_stage(
     A: int,
     window: int,
     pallas_chain: bool = False,
+    packed: bool = False,
 ):
     """The whole per-batch device pipeline as one XLA program."""
+    if packed:
+        codes = _unpack_codes4(codes)
     ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
     cks, cps, n_mini, mini_ovf = compact_minimizers(ks, ps, emitted, M)
     sks, sps = sort_minimizers_by_key(cks, cps)
@@ -106,7 +123,7 @@ def _fused_map_stage(
     jax.jit,
     static_argnames=(
         "w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A", "window",
-        "pallas_chain", "flag_window_ovf",
+        "pallas_chain", "flag_window_ovf", "packed",
     ),
 )
 def _fused_map_stage_lite(
@@ -130,6 +147,7 @@ def _fused_map_stage_lite(
     window: int,
     pallas_chain: bool = False,
     flag_window_ovf: bool = False,
+    packed: bool = False,
 ):
     """Default-parameter fast path: the whole pipeline INCLUDING chain
     finalization on device; output is (B, 18) int32 PAF fields
@@ -145,6 +163,8 @@ def _fused_map_stage_lite(
     sum_span field."""
     from ..ops.finalize_ops import finalize_from_aux
 
+    if packed:
+        codes = _unpack_codes4(codes)
     ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
     cks, cps, n_mini, mini_ovf = compact_minimizers(ks, ps, emitted, M)
     sks, sps = sort_minimizers_by_key(cks, cps)
@@ -309,7 +329,7 @@ class Mapper:
             w=self.idx.w, k=self.idx.k, hpc=False,
             q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
             M=M, A=A, window=window,
-            pallas_chain=_use_pallas_chain(),
+            pallas_chain=_use_pallas_chain(), packed=True,
         )
 
     def _lite_eligible(self) -> bool:
@@ -356,7 +376,7 @@ class Mapper:
                 w=self.idx.w, k=self.idx.k, hpc=False,
                 q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
                 M=M, A=A, window=window, pallas_chain=key[-1],
-                flag_window_ovf=flag_wovf,
+                flag_window_ovf=flag_wovf, packed=True,
             )
             self._lite_exec[key] = lowered.compile()
         return self._lite_exec[key](*args)
@@ -522,8 +542,16 @@ class Mapper:
                     lengths[bi] = n
                 stage = self._device_stage_lite if lite else self._device_stage
                 packed = stage(
-                    jnp.asarray(codes), jnp.asarray(lengths), M, A, scalars, window
+                    jnp.asarray(_pack_codes4_host(codes)), jnp.asarray(lengths),
+                    M, A, scalars, window,
                 )
+                # start the device->host copy now so it overlaps the
+                # compute of later batches (the drain's np.asarray then
+                # finds the bytes already on host)
+                try:
+                    packed.copy_to_host_async()
+                except AttributeError:
+                    pass
                 pending.append((chunk, packed, M, A, window))
         return pending
 

@@ -108,7 +108,7 @@ class DeviceIndex:
         kv_np[: keys.shape[0], 2] = starts.astype(np.uint32)
         kv_np[: keys.shape[0], 3] = counts.astype(np.uint32)
         N = kv_np.shape[0]
-        if S <= 8 and N * S * 16 <= (2 << 30):
+        if S <= 16 and N * S * 16 <= (2 << 30):
             kvp = np.vstack([kv_np, np.full((S, 4), 0xFFFFFFFF, np.uint32)])
             kvp[N:, 3] = 0
             kv_wide = np.hstack([kvp[j : j + N] for j in range(S)])
@@ -131,15 +131,21 @@ def plan_prefix_layout(keys: np.ndarray, key_bits: int):
     lower bounds. Returns (kv[:, :2] filled, prefix, shift, S); caller
     fills columns 2-3. Shared with the sharded index builder."""
     U = int(keys.shape[0])
-    # ~16 buckets per key keeps the max bucket (and so the per-lookup
-    # gather count) at ~4 for hash64-uniform keys; each extra gather is
-    # a full HBM round trip, so trading prefix-table memory for a small
-    # S is the right side of the bargain
-    prefix_bits = max(12, int(np.ceil(np.log2(U + 1))) + 6)
+    # Smallest prefix table whose max bucket fits S<=16 rows: gather cost
+    # grows with TABLE SIZE, not just gather count (measured on the v5e
+    # relay: 1M random rows from a 4 MB table ~5 ns/row vs ~20 ns/row
+    # from a 256 MB table — DRAM row locality), so a compact prefix
+    # table + one 16-row wide gather beats many buckets with tiny S.
+    prefix_bits = max(12, min(int(np.ceil(np.log2(U + 1))), _MAX_PREFIX_BITS, key_bits))
     prefix_bits = min(prefix_bits, _MAX_PREFIX_BITS, key_bits)
     shift = max(0, key_bits - prefix_bits)
     prefixes = (keys >> np.uint64(shift)).astype(np.int64)
     hist = np.bincount(prefixes, minlength=(1 << prefix_bits))
+    while hist.max(initial=1) > 16 and prefix_bits < min(_MAX_PREFIX_BITS, key_bits):
+        prefix_bits += 1
+        shift = max(0, key_bits - prefix_bits)
+        prefixes = (keys >> np.uint64(shift)).astype(np.int64)
+        hist = np.bincount(prefixes, minlength=(1 << prefix_bits))
     prefix_np = np.zeros((1 << prefix_bits) + 1, dtype=np.int32)
     np.cumsum(hist, out=prefix_np[1:])
     maxb = int(hist.max()) if U else 1

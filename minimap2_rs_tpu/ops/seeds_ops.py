@@ -104,55 +104,70 @@ def build_anchors_device(
     total = cum[:, -1]
     n_anchors = jnp.minimum(total, max_anchors)
 
-    # anchor slot a -> minimizer m (the segmented expansion): place each
-    # contributing minimizer's index at its block-start slot, fill blocks
-    # with a cummax, then read the fill back in slot order. Scatters are
-    # ~10x slower than sorts on TPU, so both placement and read-back are
-    # payload sorts: merge the "start" records (key 2*cum_prev) with the
-    # "slot" records (key 2*a + 1), cummax over the merged payload, and
-    # a second sort extracts the slot records in order.
+    # anchor slot a -> minimizer payload (the segmented expansion): merge
+    # the "start" records (key 2*cum_prev) with the "slot" records
+    # (key 2*a + 1), forward-fill the payload columns from the latest
+    # start record, and a second sort extracts the slot records in
+    # order. Payloads ride the sorts (payload operands of a TPU sort are
+    # nearly free) instead of a per-anchor (B, A, 4) take_along_axis
+    # gather afterwards (~10 ms at this shape on v5e — gathers cost a
+    # full HBM round trip per row, sorts and shifts are VPU passes).
+    # Two packed columns carry everything downstream:
+    #   d0 = start - cum_prev      (position-table row minus slot base)
+    #   d1 = span << 17 | pos<<1|strand  (pos < 2^16: reads bucket to
+    #                                     <= 65536 bases; span < 256)
     a_idx = jnp.arange(max_anchors, dtype=I32)[None, :]
     cum_prev = jnp.concatenate([jnp.zeros((B, 1), I32), cum[:, :-1]], axis=1)
     has = count > 0
     BIG = I32(2**30)
+    bc = lambda a: jax.lax.bitcast_convert_type(a, I32)
+    d0 = start - cum_prev
+    d1 = (bc(ks.lo & U32(0xFF)) << 17) | bc(ps & U32(0x1FFFF))
     k_start = jnp.where(has, jnp.minimum(cum_prev, max_anchors - 1) * 2, BIG)
-    v_start = jnp.where(has, jnp.broadcast_to(jnp.arange(M, dtype=I32)[None, :], (B, M)), -1)
     k_slot = jnp.broadcast_to(a_idx * 2 + 1, (B, max_anchors))
-    v_slot = jnp.full((B, max_anchors), -1, I32)
     k2 = jnp.concatenate([k_start, k_slot], axis=1)
-    v2 = jnp.concatenate([v_start, v_slot], axis=1)
     t2 = jnp.concatenate(
         [jnp.zeros((B, M), I32), jnp.ones((B, max_anchors), I32)], axis=1
     )
-    k2s, v2s, t2s = jax.lax.sort((k2, v2, t2), dimension=-1, num_keys=1)
-    fill = jax.lax.cummax(v2s, axis=1)
+    zslot = jnp.zeros((B, max_anchors), I32)
+    k2s, t2s, d0s, d1s = jax.lax.sort(
+        (k2, t2, jnp.concatenate([d0, zslot], axis=1),
+         jnp.concatenate([d1, zslot], axis=1)),
+        dimension=-1, num_keys=1,
+    )
+    # forward-fill (last-source-wins) by log-step pair max-scan on
+    # (source position, payloads); invalid starts carry key BIG and sort
+    # after every slot record, so they never pollute the fill
+    W = M + max_anchors
+    mpos = jnp.broadcast_to(jnp.arange(W, dtype=I32)[None, :], (B, W))
+    src = (t2s == 0) & (k2s != BIG)
+    f_k = jnp.where(src, mpos, I32(-1))
+    f0, f1 = d0s, d1s
+    step = 1
+    while step < W:
+        sh = lambda a, fill: jnp.concatenate(
+            [jnp.full((B, step), fill, a.dtype), a[:, :-step]], axis=1
+        )
+        pk = sh(f_k, -1)
+        take = pk > f_k
+        f_k = jnp.where(take, pk, f_k)
+        f0 = jnp.where(take, sh(f0, 0), f0)
+        f1 = jnp.where(take, sh(f1, 0), f1)
+        step <<= 1
     k3 = jnp.where(t2s == 1, k2s >> 1, BIG)
-    _, m_idx = jax.lax.sort((k3, fill), dimension=-1, num_keys=1)
-    m_idx = jnp.maximum(m_idx[:, :max_anchors], 0)
-    m_safe = jnp.minimum(m_idx, M - 1)
+    _, g0, g1 = jax.lax.sort((k3, f0, f1), dimension=-1, num_keys=1)
+    g0 = g0[:, :max_anchors]
+    g1 = g1[:, :max_anchors]
 
-    # all four per-minimizer columns [cum_prev, start, ps, span] in ONE
-    # (1, 4)-slice gather per anchor slot: each random gather pays the
-    # same fixed HBM round trip regardless of width, so fusing the four
-    # take_along_axis calls quarters this stage's gather bill
-    bc = lambda a: jax.lax.bitcast_convert_type(a, I32)
-    mtab = jnp.stack(
-        [cum_prev, start, bc(ps), bc(ks.lo & U32(0xFF))], axis=-1
-    )  # (B, M, 4) int32
-    mrows = jnp.take_along_axis(mtab, m_safe[:, :, None], axis=1)  # (B, A, 4)
-    prev_cum = jnp.where(m_safe > 0, mrows[..., 0], 0)
-    occ_off = a_idx - prev_cum
     valid = a_idx < n_anchors[:, None]
-
-    g_start = mrows[..., 1]
-    p_idx = jnp.where(valid, g_start + occ_off, 0)
+    p_idx = jnp.where(valid, g0 + a_idx, 0)
     # interleaved (P, 2) position rows: one slice-2 gather for (rid, pos)
     prow = gather_rows(idx.pos, p_idx, 1)[..., 0, :]
     r_hi = prow[..., 0]  # rid
     r_lo = prow[..., 1]  # rpos<<1|rstrand
 
-    ps_m = jax.lax.bitcast_convert_type(mrows[..., 2], U32)
-    span = jax.lax.bitcast_convert_type(mrows[..., 3], U32)
+    ps_m = jax.lax.bitcast_convert_type(g1 & I32(0x1FFFF), U32)
+    span = jax.lax.bitcast_convert_type(g1 >> 17, U32)
     qpos = ps_m >> U32(1)
     qstrand = ps_m & U32(1)
     rpos = r_lo >> U32(1)

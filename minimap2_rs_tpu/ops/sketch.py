@@ -129,13 +129,15 @@ def sketch_positions(
     depth = idx - last_bad  # bases since reset (valid positions only)
 
     canon, strand, sym = kmer_keys(jnp.where(is_base, codes, 4), k)
-    # l_eff: non-symmetric valid positions since reset
+    # l_eff: non-symmetric valid positions since reset. cs is
+    # nondecreasing, so cs[last_bad] == running max of cs over bad
+    # positions — a cummax instead of a (B, L) take_along_axis gather
+    # (random gathers are ~10 ns/element on TPU; this one op was ~45 ms
+    # of the kernel at (4096, 1024), the cummax is free)
     inc = (is_base & ~sym).astype(I32)
     cs = jnp.cumsum(inc, axis=1)
-    cs_at_bad = jnp.where(
-        last_bad >= 0,
-        jnp.take_along_axis(cs, jnp.maximum(last_bad, 0), axis=1),
-        0,
+    cs_at_bad = jnp.maximum(
+        jax.lax.cummax(jnp.where(~is_base, cs, I32(-1)), axis=1), 0
     )
     l_eff = jnp.where(is_base, cs - cs_at_bad, 0)
 
@@ -148,8 +150,12 @@ def sketch_positions(
         next_boundary = jnp.flip(jax.lax.cummin(jnp.flip(bpos, axis=1), axis=1), axis=1)
         skip_len = jnp.where(is_base, next_boundary - idx + 1, 0)
         css = jnp.cumsum(skip_len, axis=1)
-        lo = jnp.maximum(idx + 1 - k, last_bad + 1)
-        css_lo = jnp.where(lo > 0, jnp.take_along_axis(css, jnp.maximum(lo - 1, 0), axis=1), 0)
+        # css_lo = css[lo-1] with lo-1 = max(idx-k, last_bad); css is
+        # nondecreasing so css[max(a,b)] = max(css[a], css[b]): a static
+        # shift + a cummax replace the gather (see cs_at_bad note above)
+        cand_k = _shift_right(css, k, I32(-1))  # css[idx-k], -1 if OOB
+        cand_bad = jax.lax.cummax(jnp.where(~is_base, css, I32(-1)), axis=1)
+        css_lo = jnp.maximum(jnp.maximum(cand_k, cand_bad), 0)
         kspan = css - css_lo
     else:
         kspan = jnp.minimum(depth, k)
