@@ -104,47 +104,48 @@ def build_anchors_device(
     total = cum[:, -1]
     n_anchors = jnp.minimum(total, max_anchors)
 
-    # anchor slot a -> minimizer payload (the segmented expansion): merge
-    # the "start" records (key 2*cum_prev) with the "slot" records
-    # (key 2*a + 1), forward-fill the payload columns from the latest
-    # start record, and a second sort extracts the slot records in
-    # order. Payloads ride the sorts (payload operands of a TPU sort are
-    # nearly free) instead of a per-anchor (B, A, 4) take_along_axis
-    # gather afterwards (~10 ms at this shape on v5e — gathers cost a
-    # full HBM round trip per row, sorts and shifts are VPU passes).
+    # anchor slot a -> minimizer payload (the segmented expansion), as
+    # three monotone routing passes (ops/route.py) instead of two
+    # full-width lax.sorts (~45 ms at (4096, 512) on v5e -> ~5 ms):
+    #   1. compact the non-empty runs to the front (stable, so run
+    #      heads keep increasing anchor-slot destinations cum_prev),
+    #   2. spread each run head RIGHT to its first anchor slot — after
+    #      compaction delta_k = cum_prev_k - k is non-decreasing
+    #      (each kept run contributes count >= 1), the monotone-spread
+    #      precondition; runs past capacity clamp to delta=A and land
+    #      in the discard margin [A, A+M),
+    #   3. forward-fill payloads through each run (log-step carry).
     # Two packed columns carry everything downstream:
     #   d0 = start - cum_prev      (position-table row minus slot base)
     #   d1 = span << 17 | pos<<1|strand  (pos < 2^16: reads bucket to
     #                                     <= 65536 bases; span < 256)
+    from .route import compact_left, spread_right
+
     a_idx = jnp.arange(max_anchors, dtype=I32)[None, :]
-    cum_prev = jnp.concatenate([jnp.zeros((B, 1), I32), cum[:, :-1]], axis=1)
+    cum_prev = cum - count
     has = count > 0
-    BIG = I32(2**30)
     bc = lambda a: jax.lax.bitcast_convert_type(a, I32)
     d0 = start - cum_prev
     d1 = (bc(ks.lo & U32(0xFF)) << 17) | bc(ps & U32(0x1FFFF))
-    k_start = jnp.where(has, jnp.minimum(cum_prev, max_anchors - 1) * 2, BIG)
-    k_slot = jnp.broadcast_to(a_idx * 2 + 1, (B, max_anchors))
-    k2 = jnp.concatenate([k_start, k_slot], axis=1)
-    t2 = jnp.concatenate(
-        [jnp.zeros((B, M), I32), jnp.ones((B, max_anchors), I32)], axis=1
+    (c_dest, c_d0, c_d1), c_live = compact_left(
+        (cum_prev, d0, d1), has, fills=(I32(0), I32(0), I32(0))
     )
-    zslot = jnp.zeros((B, max_anchors), I32)
-    k2s, t2s, d0s, d1s = jax.lax.sort(
-        (k2, t2, jnp.concatenate([d0, zslot], axis=1),
-         jnp.concatenate([d1, zslot], axis=1)),
-        dimension=-1, num_keys=1,
+    k_idx = jnp.arange(M, dtype=I32)[None, :]
+    delta = jnp.where(c_live, jnp.minimum(c_dest - k_idx, max_anchors), 0)
+    Wm = M + max_anchors
+    pad = ((0, 0), (0, Wm - M))
+    (s_d0, s_d1), s_live = spread_right(
+        (jnp.pad(c_d0, pad), jnp.pad(c_d1, pad)),
+        jnp.pad(c_live, pad),
+        jnp.pad(delta, pad),
+        fills=(I32(0), I32(0)),
+        max_delta=max_anchors,
     )
-    # forward-fill (last-source-wins) by log-step pair max-scan on
-    # (source position, payloads); invalid starts carry key BIG and sort
-    # after every slot record, so they never pollute the fill
-    W = M + max_anchors
-    mpos = jnp.broadcast_to(jnp.arange(W, dtype=I32)[None, :], (B, W))
-    src = (t2s == 0) & (k2s != BIG)
-    f_k = jnp.where(src, mpos, I32(-1))
-    f0, f1 = d0s, d1s
+    f_k = jnp.where(s_live[:, :max_anchors], a_idx, I32(-1))
+    f0 = s_d0[:, :max_anchors]
+    f1 = s_d1[:, :max_anchors]
     step = 1
-    while step < W:
+    while step < max_anchors:
         sh = lambda a, fill: jnp.concatenate(
             [jnp.full((B, step), fill, a.dtype), a[:, :-step]], axis=1
         )
@@ -154,10 +155,7 @@ def build_anchors_device(
         f0 = jnp.where(take, sh(f0, 0), f0)
         f1 = jnp.where(take, sh(f1, 0), f1)
         step <<= 1
-    k3 = jnp.where(t2s == 1, k2s >> 1, BIG)
-    _, g0, g1 = jax.lax.sort((k3, f0, f1), dimension=-1, num_keys=1)
-    g0 = g0[:, :max_anchors]
-    g1 = g1[:, :max_anchors]
+    g0, g1 = f0, f1
 
     valid = a_idx < n_anchors[:, None]
     p_idx = jnp.where(valid, g0 + a_idx, 0)
