@@ -5,22 +5,22 @@ interleaved (U, 4) uint32 row table [key_hi, key_lo, start, count] plus
 an interleaved (P, 2) position table — replacing the reference's
 per-bucket HashMap probe (/root/reference/src/index.rs:143-154).
 
-Random HBM gathers are the cost model on TPU (~10 ns per gathered
-element regardless of slice width, measured on v5e): a classic binary
-search pays log2(bucket) round trips. Instead the prefix table is sized
-so that every prefix bucket fits in `bucket_slots` consecutive rows of
-the sorted key table, making a lookup exactly TWO gathers:
+Random HBM gathers are the cost model on TPU (~10-20 ns per gathered
+ROW regardless of slice width, measured on v5e): a classic binary
+search pays log2(bucket) round trips. The primary layout is therefore a
+DIRECT-MAPPED table making a lookup exactly ONE gather:
 
-    p     = key >> prefix_shift            (top bits of the hashed key)
-    base  = prefix[p]                      gather #1 (4 B)
-    rows  = kv[base : base + S]            gather #2 (one 16*S B slice)
+    p     = key >> dm_shift                (top bits of the hashed key)
+    rows  = dm[p]                          one (4*S)-u32 row gather
     hit   = rows.key == key  ->  (start, count) selected in-register
 
 Hashed keys are uniform (the invertible hash64 finalizer), so with
-2^prefix_bits ≈ 4·U buckets the max bucket size is small (Poisson tail);
-`from_host` verifies the bound and widens S or the table as needed.
-Reading past a bucket's end into the next bucket is harmless: keys are
-globally sorted, so foreign rows never compare equal.
+2^p ≈ U/2 buckets the max bucket size is small (Poisson tail);
+`plan_direct_layout` widens p until every bucket fits S entries. When
+the direct table would exceed the byte cap (huge genomes), lookups fall
+back to a two-gather scheme: a prefix lower-bound table into the sorted
+(U, 4) kv rows, then S single-row gathers (slice gathers spanning rows
+lower to a ~30x slower XLA path; see gather_rows).
 """
 
 from __future__ import annotations
@@ -50,24 +50,28 @@ class DeviceIndex:
     kv: jnp.ndarray      # (U + S, 4) uint32 rows [key_hi, key_lo, start, count]
     pos: jnp.ndarray     # (P, 2) uint32 rows [rid, pos<<1|strand]
     prefix: jnp.ndarray  # (2^prefix_bits + 1,) int32 lower bounds by key prefix
-    # (U + S, 4*S) row-replicated copy of kv (row i holds rows i..i+S-1):
-    # a bucket lookup becomes ONE wide gather instead of S row gathers —
-    # gather cost on TPU is per-element, nearly independent of slice
-    # width. Empty (0, x) when the 4x memory trade is not taken.
-    kv_wide: jnp.ndarray = None
+    # direct-mapped table (2^dm_bits, 4*dm_slots) u32: row p holds bucket
+    # p's entries [key_hi, key_lo, start, count] * dm_slots; empty slots
+    # carry key U64-max (no real <=56-bit key matches) and count 0.
+    # Empty (0, x) when the byte cap forces the two-gather fallback.
+    dm: jnp.ndarray = None
     prefix_shift: int = 0   # static: key >> shift yields the prefix
-    bucket_slots: int = 8   # static: rows fetched per lookup (>= max bucket)
+    bucket_slots: int = 8   # static: rows fetched per fallback lookup
     n_keys: int = 0         # static: number of real (unpadded) key rows
+    dm_shift: int = 0       # static: key >> shift yields the dm row
+    dm_slots: int = 0       # static: entries per dm row (0 = no dm table)
 
     def tree_flatten(self):
         return (
-            (self.kv, self.pos, self.prefix, self.kv_wide),
-            (self.prefix_shift, self.bucket_slots, self.n_keys),
+            (self.kv, self.pos, self.prefix, self.dm),
+            (self.prefix_shift, self.bucket_slots, self.n_keys,
+             self.dm_shift, self.dm_slots),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, prefix_shift=aux[0], bucket_slots=aux[1], n_keys=aux[2])
+        return cls(*children, prefix_shift=aux[0], bucket_slots=aux[1],
+                   n_keys=aux[2], dm_shift=aux[3], dm_slots=aux[4])
 
     # ---- compatibility views over the interleaved tables ---------------
     @property
@@ -107,21 +111,17 @@ class DeviceIndex:
             pos_np[:] = 0
         kv_np[: keys.shape[0], 2] = starts.astype(np.uint32)
         kv_np[: keys.shape[0], 3] = counts.astype(np.uint32)
-        N = kv_np.shape[0]
-        if S <= 16 and N * S * 16 <= (2 << 30):
-            kvp = np.vstack([kv_np, np.full((S, 4), 0xFFFFFFFF, np.uint32)])
-            kvp[N:, 3] = 0
-            kv_wide = np.hstack([kvp[j : j + N] for j in range(S)])
-        else:
-            kv_wide = np.zeros((0, 4 * S), dtype=np.uint32)
+        dm_np, dm_shift, dm_S = plan_direct_layout(keys, starts, counts, key_bits)
         return DeviceIndex(
             kv=jnp.asarray(kv_np),
             pos=jnp.asarray(pos_np),
             prefix=jnp.asarray(prefix_np),
-            kv_wide=jnp.asarray(kv_wide),
+            dm=jnp.asarray(dm_np),
             prefix_shift=shift,
             bucket_slots=S,
             n_keys=int(keys.shape[0]),
+            dm_shift=dm_shift,
+            dm_slots=dm_S,
         )
 
 
@@ -159,6 +159,46 @@ def plan_prefix_layout(keys: np.ndarray, key_bits: int):
     return kv_np, prefix_np, shift, S
 
 
+_DM_BYTE_CAP = 1 << 31  # 2 GB: beyond this, fall back to two-gather lookups
+
+
+def plan_direct_layout(
+    keys: np.ndarray, starts: np.ndarray, counts: np.ndarray, key_bits: int,
+    max_slots: int = 16, byte_cap: int = _DM_BYTE_CAP,
+):
+    """Direct-mapped (2^p, 4*S) table: bucket = key >> (key_bits - p),
+    sized so every bucket's entries fit S slots with ~2 keys/bucket
+    expected. Returns (table, shift, S); (empty, 0, 0) when over cap."""
+    U = int(keys.shape[0])
+    if U == 0:
+        return np.zeros((0, 4), dtype=np.uint32), 0, 0
+    p = max(12, int(np.ceil(np.log2(U + 1))) - 1)
+    p = min(p, key_bits)
+    while True:
+        shift = key_bits - p
+        pref = (keys >> np.uint64(shift)).astype(np.int64)
+        maxb = int(np.bincount(pref, minlength=1 << p).max())
+        if maxb <= max_slots or p >= min(_MAX_PREFIX_BITS, key_bits):
+            break
+        p += 1
+    S = 4
+    while S < maxb:
+        S *= 2
+    if (1 << p) * S * 16 > byte_cap:
+        return np.zeros((0, 4), dtype=np.uint32), 0, 0
+    dm = np.full(((1 << p) * S, 4), 0xFFFFFFFF, dtype=np.uint32)
+    dm[:, 3] = 0
+    # keys are sorted, so prefixes are sorted: within-bucket rank by
+    # first-occurrence subtraction
+    first = np.searchsorted(pref, pref, side="left")
+    slot = pref * S + (np.arange(U) - first)
+    dm[slot, 0] = (keys >> np.uint64(32)).astype(np.uint32)
+    dm[slot, 1] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    dm[slot, 2] = starts.astype(np.uint32)
+    dm[slot, 3] = counts.astype(np.uint32)
+    return dm.reshape(1 << p, 4 * S), shift, S
+
+
 def gather_rows(table: jnp.ndarray, base: jnp.ndarray, S: int) -> jnp.ndarray:
     """table (N, C); base any int shape -> (*base.shape, S, C): S
     consecutive rows per query, clamped at the end.
@@ -177,16 +217,18 @@ def gather_rows(table: jnp.ndarray, base: jnp.ndarray, S: int) -> jnp.ndarray:
 @functools.partial(jax.jit)
 def index_lookup(idx: DeviceIndex, q: U64Pair):
     """For each query key: (start, count) of its occurrence block, count 0
-    when absent (Index::get, index.rs:143-154). Two gathers total: the
-    prefix lower bound, then the bucket's row slice."""
-    p = u64.shr(q, idx.prefix_shift).lo.astype(I32)
-    p = jnp.clip(p, 0, idx.prefix.shape[0] - 2)
-    base = idx.prefix[p]
-    S = idx.bucket_slots
-    if idx.kv_wide is not None and idx.kv_wide.shape[0]:
-        wide = gather_rows(idx.kv_wide, base, 1)  # (..., 1, 4*S)
-        rows = wide.reshape(*base.shape, S, 4)
+    when absent (Index::get, index.rs:143-154). ONE row gather on the
+    direct-mapped table; two-gather prefix fallback otherwise."""
+    if idx.dm is not None and idx.dm_slots:
+        S = idx.dm_slots
+        p = u64.shr(q, idx.dm_shift).lo.astype(I32)
+        wide = gather_rows(idx.dm, p, 1)  # (..., 1, 4*S)
+        rows = wide.reshape(*p.shape, S, 4)
     else:
+        p = u64.shr(q, idx.prefix_shift).lo.astype(I32)
+        p = jnp.clip(p, 0, idx.prefix.shape[0] - 2)
+        base = idx.prefix[p]
+        S = idx.bucket_slots
         rows = gather_rows(idx.kv, base, S)  # (..., S, 4)
     hit = (rows[..., 0] == q.hi[..., None]) & (rows[..., 1] == q.lo[..., None])
     start = jnp.max(jnp.where(hit, rows[..., 2], U32(0)), axis=-1)
