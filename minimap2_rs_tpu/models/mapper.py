@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,23 @@ I32 = jnp.int32
 
 def _combine64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+
+def _dv_from_fields(fields: np.ndarray, col: dict) -> np.ndarray:
+    """dv for the whole batch in one vectorized float32 pass (bit-equal
+    to the reference's scalar f32 math, paf.rs:156-199)."""
+    avg_k = fields[:, col["sum_span"]].astype(np.float32) / np.maximum(
+        fields[:, col["n_mini"]], 1
+    ).astype(np.float32)
+    kf = np.maximum(avg_k, np.float32(1.0))
+    frac = fields[:, col["n_match"]].astype(np.float32) / np.maximum(
+        fields[:, col["n_tot"]], 1
+    ).astype(np.float32)
+    return np.where(
+        (frac < np.float32(1.0)) & (fields[:, col["dv_found"]] != 0),
+        np.float32(1.0) - frac ** (np.float32(1.0) / kf),
+        np.float32(0.0),
+    )
 
 
 def _unpack_codes4(codes4: jnp.ndarray) -> jnp.ndarray:
@@ -347,6 +365,10 @@ class Mapper:
         if not hasattr(self, "_tlens"):
             self._tlens = np.array([s.length for s in self.idx.seq], dtype=np.int32)
             self._tnames = [s.name or "*" for s in self.idx.seq]
+            enc = [n.encode() for n in self._tnames]
+            self._tname_blob = b"".join(enc)
+            self._tname_off = np.zeros(len(enc) + 1, dtype=np.int64)
+            np.cumsum([len(n) for n in enc], out=self._tname_off[1:])
 
     def _device_stage_lite(self, codes, lengths, M, A, scalars: ChainScalars, window: int):
         self._ensure_meta()
@@ -386,26 +408,48 @@ class Mapper:
         array: the wide-band row replaces the normal row when the rescue
         flag is set (lchain.rs:321-330, resolved without a round-trip).
         Capacity overflow goes to the 4x-capacity device tier ("normal"
-        mode) or the host pipeline ("tier2" mode)."""
+        mode) or the host pipeline ("tier2" mode). Formatting runs in the
+        native runtime (mm2t_format_lite) when built; the Python loop
+        below is the bit-identical fallback."""
         from ..ops.finalize_ops import FIELDS
 
         self._ensure_meta()
         col = {name: i for i, name in enumerate(FIELDS)}
-        # dv for the whole batch in one vectorized float32 pass (bit-equal
-        # to the reference's scalar f32 math), and bulk int conversion —
-        # per-element numpy scalar access dominates an interpreted loop
-        avg_k = fields[:, col["sum_span"]].astype(np.float32) / np.maximum(
-            fields[:, col["n_mini"]], 1
-        ).astype(np.float32)
-        kf = np.maximum(avg_k, np.float32(1.0))
-        frac = fields[:, col["n_match"]].astype(np.float32) / np.maximum(
-            fields[:, col["n_tot"]], 1
-        ).astype(np.float32)
-        dv_all = np.where(
-            (frac < np.float32(1.0)) & (fields[:, col["dv_found"]] != 0),
-            np.float32(1.0) - frac ** (np.float32(1.0) / kf),
-            np.float32(0.0),
-        )
+        if not os.environ.get("MM2T_NO_NATIVE"):
+            from ..runtime.host import native_format_lite
+
+            n = len(chunk)
+            fr = np.ascontiguousarray(fields[:n])
+            dv_n = _dv_from_fields(fr, col)
+            qlens = np.fromiter(
+                (len(reads[ri][1]) for ri in chunk), dtype=np.int32, count=n
+            )
+            out = native_format_lite(
+                fr, dv_n, qlens,
+                [reads[ri][0].encode() for ri in chunk],
+                self._tname_blob, self._tname_off, self._tlens,
+                self.mp.mapq, col,
+            )
+            if out is not None:
+                blob, off = out
+                text = blob.decode("latin-1")
+                ovf = (
+                    (fr[:, col["mini_ovf"]] != 0)
+                    | (fr[:, col["anc_ovf"]] != 0)
+                    | (fr[:, col["win_ovf"]] != 0)
+                )
+                for bi, ri in enumerate(chunk):
+                    if off[bi + 1] > off[bi]:
+                        results[ri] = [text[off[bi] : off[bi + 1]]]
+                    elif ovf[bi]:
+                        if mode == "normal":
+                            self._tier2_queue.append(ri)
+                        else:
+                            results[ri] = self._host_fallback(reads[ri])
+                    else:
+                        results[ri] = []
+                return
+        dv_all = _dv_from_fields(fields, col)
         rows = fields.tolist()
         dv_list = dv_all.tolist()
         tnames, tlens, mapq = self._tnames, self._tlens.tolist(), self.mp.mapq
@@ -529,20 +573,29 @@ class Mapper:
                 # reuses one compiled program per bucket
                 # uint8 on the wire: host->device transfers through the
                 # relay are latency+bandwidth bound
-                codes = np.full((B, bucket), 4, dtype=np.uint8)
                 lengths = np.zeros(B, dtype=np.int32)
-                # one LUT pass over the whole chunk, then row memcpys —
-                # per-read nt4_encode calls pay numpy dispatch each
-                enc = nt4_encode(b"".join(reads[ri][1] for ri in chunk))
-                off = 0
-                for bi, ri in enumerate(chunk):
-                    n = len(reads[ri][1])
-                    codes[bi, :n] = enc[off : off + n]
-                    off += n
-                    lengths[bi] = n
+                lengths[: len(chunk)] = [len(reads[ri][1]) for ri in chunk]
+                packed4 = None
+                if not os.environ.get("MM2T_NO_NATIVE"):
+                    from ..runtime.host import native_encode_pack4
+
+                    seqs = [reads[ri][1] for ri in chunk]
+                    seqs += [b""] * (B - len(chunk))
+                    packed4 = native_encode_pack4(seqs, bucket // 2)
+                if packed4 is None:
+                    codes = np.full((B, bucket), 4, dtype=np.uint8)
+                    # one LUT pass over the whole chunk, then row memcpys
+                    # — per-read nt4_encode calls pay numpy dispatch each
+                    enc = nt4_encode(b"".join(reads[ri][1] for ri in chunk))
+                    off = 0
+                    for bi, ri in enumerate(chunk):
+                        n = lengths[bi]
+                        codes[bi, :n] = enc[off : off + n]
+                        off += n
+                    packed4 = _pack_codes4_host(codes)
                 stage = self._device_stage_lite if lite else self._device_stage
                 packed = stage(
-                    jnp.asarray(_pack_codes4_host(codes)), jnp.asarray(lengths),
+                    jnp.asarray(packed4), jnp.asarray(lengths),
                     M, A, scalars, window,
                 )
                 # start the device->host copy now so it overlaps the

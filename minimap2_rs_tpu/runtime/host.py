@@ -52,15 +52,20 @@ def _load():
         return _LIB
     _TRIED = True
     so = os.path.join(os.path.dirname(__file__), "native", "libmm2t_host.so")
-    if not os.path.exists(so):
-        # best-effort local build (g++ is expected in the image)
+    src = os.path.join(os.path.dirname(so), "mm2t_host.cpp")
+    stale = not os.path.exists(so) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
+    )
+    if stale:
+        # best-effort local (re)build (g++ is expected in the image)
         try:
             subprocess.run(
-                ["make", "-s", "-C", os.path.dirname(so)],
+                ["make", "-s", "-B", "-C", os.path.dirname(so)],
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(so):
+                return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:
@@ -98,6 +103,19 @@ def _load():
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),  # skip_output, rescue
         i64p, f64p, ctypes.c_int64,               # out_fields, out_dv, cap
     ]
+    f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+    if hasattr(lib, "mm2t_encode_pack4"):
+        lib.mm2t_encode_pack4.restype = None
+        lib.mm2t_encode_pack4.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), i64p,
+            ctypes.c_int64, ctypes.c_int64, u8p,
+        ]
+        lib.mm2t_format_lite.restype = ctypes.c_int64
+        lib.mm2t_format_lite.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int32, f32p,
+            i32p, u8p, i64p, u8p, i64p, i32p,
+            ctypes.c_int32, i32p, u8p, ctypes.c_int64, i64p,
+        ]
     _LIB = lib
     return _LIB
 
@@ -147,6 +165,66 @@ def native_postprocess(
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def native_encode_pack4(seqs: list[bytes], Lpack: int) -> np.ndarray | None:
+    """(B, Lpack) uint8 rows of 4-bit-packed nt4 codes (0x44 padding)
+    straight from raw read bytes — the H2D wire format. None when the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mm2t_encode_pack4"):
+        return None
+    B = len(seqs)
+    ptrs = (ctypes.c_char_p * B)(*seqs)
+    lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=B)
+    out = np.empty((B, Lpack), dtype=np.uint8)
+    lib.mm2t_encode_pack4(ptrs, lens, B, Lpack, out)
+    return out
+
+
+_LITE_COLS = [
+    "qs", "qe", "ts", "te", "grp", "score", "cm", "n_anchors",
+    "mini_ovf", "anc_ovf", "win_ovf",
+]
+
+
+def native_format_lite(
+    fields: np.ndarray,  # (B, F) int32 lite field rows
+    dv: np.ndarray,      # (B,) float32
+    qlens: np.ndarray,   # (B,) int32
+    qnames: list[bytes],
+    tname_blob: bytes, tname_off: np.ndarray, tlens: np.ndarray,
+    mapq: int, col_of: dict,
+):
+    """Format PAF lines for every clean row in one call. Returns
+    (blob: bytes, line_off: (B+1,) int64) — row i's line is
+    blob[line_off[i]:line_off[i+1]] (empty = no output: overflow or no
+    anchors; the caller resolves which). None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mm2t_format_lite"):
+        return None
+    B, F = fields.shape
+    qname_blob = b"".join(qnames)
+    qname_off = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum([len(n) for n in qnames], out=qname_off[1:])
+    col = np.array([col_of[c] for c in _LITE_COLS], dtype=np.int32)
+    cap = len(qname_blob) + B * 224 + len(tname_blob) + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    line_off = np.empty(B + 1, dtype=np.int64)
+    total = lib.mm2t_format_lite(
+        np.ascontiguousarray(fields, dtype=np.int32), B, F,
+        np.ascontiguousarray(dv, dtype=np.float32),
+        np.ascontiguousarray(qlens, dtype=np.int32),
+        np.frombuffer(qname_blob, dtype=np.uint8) if qname_blob else np.zeros(1, np.uint8),
+        qname_off,
+        np.frombuffer(tname_blob, dtype=np.uint8) if tname_blob else np.zeros(1, np.uint8),
+        np.ascontiguousarray(tname_off, dtype=np.int64),
+        np.ascontiguousarray(tlens, dtype=np.int32),
+        mapq, col, out, cap, line_off,
+    )
+    if total < 0:
+        return None  # capacity miss (absurdly long names); Python path
+    return out.tobytes()[:total], line_off
 
 
 def native_sketch(seq: bytes, w: int, k: int, rid: int = 0, is_hpc: bool = False):

@@ -22,6 +22,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -652,6 +653,104 @@ int64_t mm2t_postprocess(
     o[1] = s2 > 0 ? s2 : 0;
   }
   return n_rec;
+}
+
+// ---------------------------------------------------------------------
+// batch read encoding: raw ASCII -> 4-bit-packed nt4 nibble rows
+// ---------------------------------------------------------------------
+
+// seqs: B pointers to read bytes with lengths lens[i] (<= 2*Lpack).
+// out (B, Lpack) is filled with 0x44 (two nt4=4 padding nibbles) and the
+// read's codes packed low-nibble-first — the wire format _unpack_codes4
+// (models/mapper.py) expands on device.
+void mm2t_encode_pack4(const uint8_t* const* seqs, const int64_t* lens,
+                       int64_t B, int64_t Lpack, uint8_t* out) {
+  for (int64_t i = 0; i < B; i++) {
+    uint8_t* row = out + i * Lpack;
+    memset(row, 0x44, Lpack);
+    const uint8_t* s = seqs[i];
+    int64_t n = lens[i];
+    int64_t j = 0;
+    for (; j + 1 < n; j += 2)
+      row[j >> 1] = (uint8_t)(NT4[s[j]] | (NT4[s[j + 1]] << 4));
+    if (j < n) row[j >> 1] = (uint8_t)(NT4[s[j]] | 0x40);
+  }
+}
+
+// ---------------------------------------------------------------------
+// batch PAF formatting for the lite device path
+// (mirrors models/mapper.py _postprocess_lite's f-string exactly)
+// ---------------------------------------------------------------------
+
+static inline char* put_i64(char* p, int64_t v) {
+  if (v < 0) { *p++ = '-'; v = -v; }
+  char tmp[20];
+  int n = 0;
+  do { tmp[n++] = (char)('0' + v % 10); v /= 10; } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+
+// fields: (B, F) row-major int32 per the lite FIELDS layout; col gives
+// the indices of [qs, qe, ts, te, grp, score, cm, n_anchors, mini_ovf,
+// anc_ovf, win_ovf] within a row. Rows with any overflow flag or zero
+// anchors produce no line (line_off[i+1] == line_off[i]); the caller
+// routes them to the fallback tiers. Returns total bytes, or -1 when
+// out_cap would be exceeded.
+int64_t mm2t_format_lite(
+    const int32_t* fields, int64_t B, int32_t F, const float* dv,
+    const int32_t* qlens, const uint8_t* qname_blob, const int64_t* qname_off,
+    const uint8_t* tname_blob, const int64_t* tname_off, const int32_t* tlens,
+    int32_t mapq, const int32_t* col, uint8_t* out, int64_t out_cap,
+    int64_t* line_off) {
+  const int32_t c_qs = col[0], c_qe = col[1], c_ts = col[2], c_te = col[3],
+                c_grp = col[4], c_score = col[5], c_cm = col[6],
+                c_na = col[7], c_movf = col[8], c_aovf = col[9],
+                c_wovf = col[10];
+  int64_t pos = 0;
+  line_off[0] = 0;
+  for (int64_t i = 0; i < B; i++) {
+    const int32_t* row = fields + i * F;
+    if (row[c_movf] || row[c_aovf] || row[c_wovf] || row[c_na] == 0) {
+      line_off[i + 1] = pos;
+      continue;
+    }
+    int64_t qn_len = qname_off[i + 1] - qname_off[i];
+    uint32_t grp = (uint32_t)row[c_grp];
+    int rev = (int)(grp >> 31);
+    int32_t rid = (int32_t)(grp & 0x7fffffff);
+    int64_t tn_len = tname_off[rid + 1] - tname_off[rid];
+    if (pos + qn_len + tn_len + 192 > out_cap) return -1;
+    int32_t qlen = qlens[i];
+    int32_t qs = row[c_qs], qe = row[c_qe];
+    int32_t wqs = rev ? qlen - qe : qs;
+    int32_t wqe = rev ? qlen - qs : qe;
+    int32_t ts = row[c_ts], te = row[c_te];
+    int32_t s1 = row[c_score] > 0 ? row[c_score] : 0;
+    char* p = (char*)out + pos;
+    memcpy(p, qname_blob + qname_off[i], qn_len); p += qn_len;
+    *p++ = '\t'; p = put_i64(p, qlen);
+    *p++ = '\t'; p = put_i64(p, wqs);
+    *p++ = '\t'; p = put_i64(p, wqe);
+    *p++ = '\t'; *p++ = rev ? '-' : '+';
+    *p++ = '\t'; memcpy(p, tname_blob + tname_off[rid], tn_len); p += tn_len;
+    *p++ = '\t'; p = put_i64(p, tlens[rid]);
+    *p++ = '\t'; p = put_i64(p, ts);
+    *p++ = '\t'; p = put_i64(p, te);
+    *p++ = '\t'; p = put_i64(p, qe - qs > 0 ? qe - qs : 0);
+    *p++ = '\t'; p = put_i64(p, te - ts > 0 ? te - ts : 0);
+    *p++ = '\t'; p = put_i64(p, mapq);
+    memcpy(p, "\ttp:A:P\tcm:i:", 13); p += 13;
+    p = put_i64(p, row[c_cm]);
+    memcpy(p, "\ts1:i:", 6); p += 6;
+    p = put_i64(p, s1);
+    memcpy(p, "\ts2:i:0\tdv:f:", 13); p += 13;
+    p += snprintf(p, 16, "%.4f", (double)dv[i]);
+    memcpy(p, "\trl:i:0", 7); p += 7;
+    pos = (int64_t)((uint8_t*)p - out);
+    line_off[i + 1] = pos;
+  }
+  return pos;
 }
 
 }  // extern "C"
