@@ -43,23 +43,19 @@ def filter_query_minimizers(
     """Drop over-represented query minimizer keys (seeds.rs:13-36): a key
     is dropped when its count exceeds both q_occ_max and
     floor(len * q_occ_frac); no-op when len <= q_occ_max."""
-    if not mv or q_occ_frac <= 0.0 or q_occ_max <= 0:
+    if len(mv) == 0 or q_occ_frac <= 0.0 or q_occ_max <= 0:
         return mv
     if len(mv) <= q_occ_max:
         return mv
-    keys = np.array([m[0] >> 8 for m in mv], dtype=np.uint64)
-    order = np.argsort(keys, kind="stable")
-    sk = keys[order]
+    if isinstance(mv, np.ndarray):
+        keys = (mv[:, 0] >> np.uint64(8)).astype(np.uint64)
+    else:
+        keys = np.array([m[0] >> 8 for m in mv], dtype=np.uint64)
     cutoff = int(len(mv) * q_occ_frac)
-    keep = np.ones(len(mv), dtype=bool)
-    st = 0
-    n = len(sk)
-    for i in range(1, n + 1):
-        if i == n or sk[i] != sk[st]:
-            cnt = i - st
-            if cnt > q_occ_max and cnt > cutoff:
-                keep[order[st:i]] = False
-            st = i
+    _, inv, cnt = np.unique(keys, return_inverse=True, return_counts=True)
+    keep = ~((cnt > q_occ_max) & (cnt > cutoff))[inv]
+    if isinstance(mv, np.ndarray):
+        return mv[keep]
     return [m for m, kp in zip(mv, keep) if kp]
 
 
@@ -74,50 +70,60 @@ def build_anchors(
     unless they are singletons (the reference always keeps singletons,
     seeds.rs:48-50). Returns an (n, 2) uint64 array sorted by (x, y)."""
     if isinstance(mv, np.ndarray):
-        pairs = mv
+        pairs = mv.reshape(-1, 2)
     else:
         pairs = np.array(mv, dtype=np.uint64).reshape(-1, 2)
-    if pairs.shape[0] == 0:
+    if pairs.shape[0] == 0 or idx.keys.shape[0] == 0:
         return np.zeros((0, 2), dtype=np.uint64)
-    xs: list[np.ndarray] = []
-    ys: list[np.ndarray] = []
-    for key_span, qrps in pairs:
-        minier = int(key_span) >> 8
-        occs = idx.get(minier)
-        if occs is None:
-            continue
-        if occs.shape[0] > 1 and occs.shape[0] > mid_occ:
-            continue
-        x, y = _encode_anchors(occs, int(key_span), int(qrps), qlen)
-        xs.append(x)
-        ys.append(y)
-    if not xs:
+    # vectorized over all minimizers at once: one searchsorted into the
+    # flat sorted key table, then a repeat-expansion of the occurrence
+    # blocks (the per-key Python loop cost ~4 ms/read; this is ~0.2 ms)
+    key_span = pairs[:, 0].astype(np.uint64)
+    qrps = pairs[:, 1].astype(np.uint64)
+    minier = key_span >> np.uint64(8)
+    nk = idx.keys.shape[0]
+    pos = np.searchsorted(idx.keys, minier)
+    posc = np.minimum(pos, nk - 1)
+    found = idx.keys[posc] == minier
+    count = np.where(found, idx.counts[posc], 0).astype(np.int64)
+    start = idx.starts[posc].astype(np.int64)
+    keep = found & ((count == 1) | (count <= mid_occ))
+    cnt = np.where(keep, count, 0)
+    total = int(cnt.sum())
+    if total == 0:
         return np.zeros((0, 2), dtype=np.uint64)
-    x = np.concatenate(xs)
-    y = np.concatenate(ys)
+    rep = np.repeat(np.arange(cnt.shape[0]), cnt)
+    cumprev = np.cumsum(cnt) - cnt
+    occ = idx.positions[start[rep] + (np.arange(total) - cumprev[rep])]
+    x, y = _encode_anchors(occ, key_span[rep], qrps[rep], qlen)
     order = np.lexsort((y, x))
     return np.stack([x[order], y[order]], axis=1)
 
 
-def _encode_anchors(r: np.ndarray, key_span: int, qrps: int, qlen: int):
-    """Vectorized push_anchor (seeds.rs:63-78) over one key's occurrence
-    block.
+def _encode_anchors(r: np.ndarray, key_span, qrps, qlen: int):
+    """Vectorized push_anchor (seeds.rs:63-78); key_span/qrps may be
+    scalars (one key's occurrence block) or arrays parallel to r.
 
     NOTE: the reference extracts rpos as (r >> 1) & 0xffffffff
     (seeds.rs:65), which leaks rid's low bit into rpos bit 31 for
     odd-numbered target sequences and corrupts their coordinates (it was
     only ever exercised on a single-sequence reference, README.md:8-27).
     We extract the position correctly: low 32 bits first, then shift."""
+    key_span = np.asarray(key_span, dtype=np.uint64)
+    qrps = np.asarray(qrps, dtype=np.uint64)
     rid = (r >> np.uint64(32)) & np.uint64(0xFFFFFFFF)
     rpos = (r & np.uint64(0xFFFFFFFF)) >> np.uint64(1)
     rstrand = r & np.uint64(1)
-    qpos = (qrps >> 1) & 0xFFFFFFFF
-    qstrand = qrps & 1
-    qspan = key_span & 0xFF
-    forward = rstrand == np.uint64(qstrand)
+    qpos = (qrps >> np.uint64(1)) & np.uint64(0xFFFFFFFF)
+    qstrand = qrps & np.uint64(1)
+    qspan = key_span & np.uint64(0xFF)
+    forward = rstrand == qstrand
     x = (rid << np.uint64(32)) | rpos
     x = np.where(forward, x, x | np.uint64(1 << 63))
-    qp_fwd = np.uint64((qspan << 32) | qpos)
-    qp_rev = np.uint64((qspan << 32) | ((qlen - (qpos + 1 - qspan) - 1) & 0xFFFFFFFF))
+    qp_fwd = (qspan << np.uint64(32)) | qpos
+    qp_rev = (qspan << np.uint64(32)) | (
+        (np.uint64(qlen) - (qpos + np.uint64(1) - qspan) - np.uint64(1))
+        & np.uint64(0xFFFFFFFF)
+    )
     y = np.where(forward, qp_fwd, qp_rev)
     return x, y
