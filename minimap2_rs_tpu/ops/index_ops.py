@@ -50,9 +50,14 @@ class DeviceIndex:
     kv: jnp.ndarray      # (U + S, 4) uint32 rows [key_hi, key_lo, start, count]
     pos: jnp.ndarray     # (P, 2) uint32 rows [rid, pos<<1|strand]
     prefix: jnp.ndarray  # (2^prefix_bits + 1,) int32 lower bounds by key prefix
-    # direct-mapped table (2^dm_bits, 4*dm_slots) u32: row p holds bucket
-    # p's entries [key_hi, key_lo, start, count] * dm_slots; empty slots
-    # carry key U64-max (no real <=56-bit key matches) and count 0.
+    # direct-mapped table (2^dm_bits, dm_entry*dm_slots) u32: row p holds
+    # bucket p's entries, dm_entry words each:
+    #   dm_entry == 2 (compact): [fp | count << dm_shift, start] — the low
+    #     dm_shift key bits are the EXACT remaining key (the prefix is
+    #     the row address), so matching is exact; empty slots carry
+    #     count == 0 which is already "absent".
+    #   dm_entry == 4 (wide): [key_hi, key_lo, start, count]; empty slots
+    #     carry key U64-max (no real <=56-bit key matches) and count 0.
     # Empty (0, x) when the byte cap forces the two-gather fallback.
     dm: jnp.ndarray = None
     prefix_shift: int = 0   # static: key >> shift yields the prefix
@@ -60,18 +65,20 @@ class DeviceIndex:
     n_keys: int = 0         # static: number of real (unpadded) key rows
     dm_shift: int = 0       # static: key >> shift yields the dm row
     dm_slots: int = 0       # static: entries per dm row (0 = no dm table)
+    dm_entry: int = 4       # static: u32 words per entry (2 or 4)
 
     def tree_flatten(self):
         return (
             (self.kv, self.pos, self.prefix, self.dm),
             (self.prefix_shift, self.bucket_slots, self.n_keys,
-             self.dm_shift, self.dm_slots),
+             self.dm_shift, self.dm_slots, self.dm_entry),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, prefix_shift=aux[0], bucket_slots=aux[1],
-                   n_keys=aux[2], dm_shift=aux[3], dm_slots=aux[4])
+                   n_keys=aux[2], dm_shift=aux[3], dm_slots=aux[4],
+                   dm_entry=aux[5])
 
     # ---- compatibility views over the interleaved tables ---------------
     @property
@@ -111,7 +118,9 @@ class DeviceIndex:
             pos_np[:] = 0
         kv_np[: keys.shape[0], 2] = starts.astype(np.uint32)
         kv_np[: keys.shape[0], 3] = counts.astype(np.uint32)
-        dm_np, dm_shift, dm_S = plan_direct_layout(keys, starts, counts, key_bits)
+        dm_np, dm_shift, dm_S, dm_entry = plan_direct_layout(
+            keys, starts, counts, key_bits
+        )
         return DeviceIndex(
             kv=jnp.asarray(kv_np),
             pos=jnp.asarray(pos_np),
@@ -122,6 +131,7 @@ class DeviceIndex:
             n_keys=int(keys.shape[0]),
             dm_shift=dm_shift,
             dm_slots=dm_S,
+            dm_entry=dm_entry,
         )
 
 
@@ -164,39 +174,59 @@ _DM_BYTE_CAP = 1 << 31  # 2 GB: beyond this, fall back to two-gather lookups
 
 def plan_direct_layout(
     keys: np.ndarray, starts: np.ndarray, counts: np.ndarray, key_bits: int,
-    max_slots: int = 16, byte_cap: int = _DM_BYTE_CAP,
+    byte_cap: int = _DM_BYTE_CAP,
 ):
-    """Direct-mapped (2^p, 4*S) table: bucket = key >> (key_bits - p),
-    sized so every bucket's entries fit S slots with ~2 keys/bucket
-    expected. Returns (table, shift, S); (empty, 0, 0) when over cap."""
+    """Direct-mapped table: bucket = key >> (key_bits - p). Gather cost on
+    v5e grows with TABLE BYTES (DRAM locality), so prefer the compact
+    2-word entry [fp | count << shift, start] whenever the remaining key
+    bits and the largest occurrence count fit one u32 (shift <= 12 covers
+    every k <= 21 preset at reasonable p); else 4-word entries. Returns
+    (table, shift, S, entry_words); (empty, 0, 0, 4) when over cap."""
     U = int(keys.shape[0])
     if U == 0:
-        return np.zeros((0, 4), dtype=np.uint32), 0, 0
-    p = max(12, int(np.ceil(np.log2(U + 1))) - 1)
-    p = min(p, key_bits)
-    while True:
+        return np.zeros((0, 4), dtype=np.uint32), 0, 0, 4
+
+    def bucket_stats(p):
         shift = key_bits - p
         pref = (keys >> np.uint64(shift)).astype(np.int64)
         maxb = int(np.bincount(pref, minlength=1 << p).max())
-        if maxb <= max_slots or p >= min(_MAX_PREFIX_BITS, key_bits):
-            break
-        p += 1
-    S = 4
-    while S < maxb:
-        S *= 2
-    if (1 << p) * S * 16 > byte_cap:
-        return np.zeros((0, 4), dtype=np.uint32), 0, 0
-    dm = np.full(((1 << p) * S, 4), 0xFFFFFFFF, dtype=np.uint32)
-    dm[:, 3] = 0
+        S = 4
+        while S < maxb:
+            S *= 2
+        return shift, pref, S
+
+    max_count = int(counts.max()) if U else 0
+    best = None  # (bytes, p, shift, pref, S, entry)
+    p_lo = max(12, int(np.ceil(np.log2(U + 1))) - 2)
+    for p in range(min(p_lo, key_bits), min(_MAX_PREFIX_BITS, key_bits) + 1):
+        shift, pref, S = bucket_stats(p)
+        # compact entries need fp (shift bits) + count to share one u32
+        entry = 2 if (shift <= 12 and max_count < (1 << (32 - shift))) else 4
+        nbytes = (1 << p) * S * entry * 4
+        if nbytes <= byte_cap and (best is None or nbytes < best[0]):
+            best = (nbytes, p, shift, pref, S, entry)
+        if best is not None and p > p_lo + 4:
+            break  # larger p only grows the table once maxb bottoms out
+    if best is None:
+        return np.zeros((0, 4), dtype=np.uint32), 0, 0, 4
+    _, p, shift, pref, S, entry = best
     # keys are sorted, so prefixes are sorted: within-bucket rank by
     # first-occurrence subtraction
     first = np.searchsorted(pref, pref, side="left")
     slot = pref * S + (np.arange(U) - first)
-    dm[slot, 0] = (keys >> np.uint64(32)).astype(np.uint32)
-    dm[slot, 1] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    dm[slot, 2] = starts.astype(np.uint32)
-    dm[slot, 3] = counts.astype(np.uint32)
-    return dm.reshape(1 << p, 4 * S), shift, S
+    if entry == 2:
+        dm = np.zeros(((1 << p) * S, 2), dtype=np.uint32)
+        fp = (keys & np.uint64((1 << shift) - 1)).astype(np.uint32)
+        dm[slot, 0] = fp | (counts.astype(np.uint32) << np.uint32(shift))
+        dm[slot, 1] = starts.astype(np.uint32)
+    else:
+        dm = np.full(((1 << p) * S, 4), 0xFFFFFFFF, dtype=np.uint32)
+        dm[:, 3] = 0
+        dm[slot, 0] = (keys >> np.uint64(32)).astype(np.uint32)
+        dm[slot, 1] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        dm[slot, 2] = starts.astype(np.uint32)
+        dm[slot, 3] = counts.astype(np.uint32)
+    return dm.reshape(1 << p, entry * S), shift, S, entry
 
 
 def gather_rows(table: jnp.ndarray, base: jnp.ndarray, S: int) -> jnp.ndarray:
@@ -219,6 +249,23 @@ def index_lookup(idx: DeviceIndex, q: U64Pair):
     """For each query key: (start, count) of its occurrence block, count 0
     when absent (Index::get, index.rs:143-154). ONE row gather on the
     direct-mapped table; two-gather prefix fallback otherwise."""
+    if idx.dm is not None and idx.dm_slots and idx.dm_entry == 2:
+        S = idx.dm_slots
+        p = u64.shr(q, idx.dm_shift).lo.astype(I32)
+        wide = gather_rows(idx.dm, p, 1)  # (..., 1, 2*S)
+        rows = wide.reshape(*p.shape, S, 2)
+        meta = rows[..., 0]
+        fp = q.lo & U32((1 << idx.dm_shift) - 1)
+        hit = (meta & U32((1 << idx.dm_shift) - 1)) == fp[..., None]
+        # empty slots carry count == 0, which is already "absent"
+        start = jnp.max(jnp.where(hit, rows[..., 1], U32(0)), axis=-1)
+        count = jnp.max(
+            jnp.where(hit, meta >> U32(idx.dm_shift), U32(0)), axis=-1
+        )
+        return (
+            jax.lax.bitcast_convert_type(start, I32),
+            jax.lax.bitcast_convert_type(count, I32),
+        )
     if idx.dm is not None and idx.dm_slots:
         S = idx.dm_slots
         p = u64.shr(q, idx.dm_shift).lo.astype(I32)
