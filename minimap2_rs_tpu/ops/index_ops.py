@@ -10,9 +10,13 @@ ROW regardless of slice width, measured on v5e): a classic binary
 search pays log2(bucket) round trips. The primary layout is therefore a
 DIRECT-MAPPED table making a lookup exactly ONE gather:
 
-    p     = key >> dm_shift                (top bits of the hashed key)
-    rows  = dm[p]                          one (4*S)-u32 row gather
-    hit   = rows.key == key  ->  (start, count) selected in-register
+    p     = key & (2^dm_bits - 1)          (LOW bits of the hashed key —
+                                            markedly more uniform than its
+                                            high bits; the reference
+                                            buckets by low bits too,
+                                            index.rs:69-72)
+    rows  = dm[p]                          one row gather
+    hit   = rows.fp == key >> dm_bits  ->  (start, count) in-register
 
 Hashed keys are uniform (the invertible hash64 finalizer), so with
 2^p ≈ U/2 buckets the max bucket size is small (Poisson tail);
@@ -63,22 +67,23 @@ class DeviceIndex:
     prefix_shift: int = 0   # static: key >> shift yields the prefix
     bucket_slots: int = 8   # static: rows fetched per fallback lookup
     n_keys: int = 0         # static: number of real (unpadded) key rows
-    dm_shift: int = 0       # static: key >> shift yields the dm row
+    dm_bits: int = 0        # static: key & (2^bits - 1) yields the dm row
     dm_slots: int = 0       # static: entries per dm row (0 = no dm table)
     dm_entry: int = 4       # static: u32 words per entry (2 or 4)
+    dm_fp_bits: int = 0     # static: compact-entry fingerprint width
 
     def tree_flatten(self):
         return (
             (self.kv, self.pos, self.prefix, self.dm),
             (self.prefix_shift, self.bucket_slots, self.n_keys,
-             self.dm_shift, self.dm_slots, self.dm_entry),
+             self.dm_bits, self.dm_slots, self.dm_entry, self.dm_fp_bits),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, prefix_shift=aux[0], bucket_slots=aux[1],
-                   n_keys=aux[2], dm_shift=aux[3], dm_slots=aux[4],
-                   dm_entry=aux[5])
+                   n_keys=aux[2], dm_bits=aux[3], dm_slots=aux[4],
+                   dm_entry=aux[5], dm_fp_bits=aux[6])
 
     # ---- compatibility views over the interleaved tables ---------------
     @property
@@ -118,7 +123,7 @@ class DeviceIndex:
             pos_np[:] = 0
         kv_np[: keys.shape[0], 2] = starts.astype(np.uint32)
         kv_np[: keys.shape[0], 3] = counts.astype(np.uint32)
-        dm_np, dm_shift, dm_S, dm_entry = plan_direct_layout(
+        dm_np, dm_p, dm_S, dm_entry = plan_direct_layout(
             keys, starts, counts, key_bits
         )
         return DeviceIndex(
@@ -129,9 +134,10 @@ class DeviceIndex:
             prefix_shift=shift,
             bucket_slots=S,
             n_keys=int(keys.shape[0]),
-            dm_shift=dm_shift,
+            dm_bits=dm_p,
             dm_slots=dm_S,
             dm_entry=dm_entry,
+            dm_fp_bits=max(0, key_bits - dm_p),
         )
 
 
@@ -176,48 +182,56 @@ def plan_direct_layout(
     keys: np.ndarray, starts: np.ndarray, counts: np.ndarray, key_bits: int,
     byte_cap: int = _DM_BYTE_CAP,
 ):
-    """Direct-mapped table: bucket = key >> (key_bits - p). Gather cost on
-    v5e grows with TABLE BYTES (DRAM locality), so prefer the compact
-    2-word entry [fp | count << shift, start] whenever the remaining key
-    bits and the largest occurrence count fit one u32 (shift <= 12 covers
-    every k <= 21 preset at reasonable p); else 4-word entries. Returns
-    (table, shift, S, entry_words); (empty, 0, 0, 4) when over cap."""
+    """Direct-mapped table addressed by the LOW p key bits (the
+    reference's bucket choice, index.rs:69-72 — hash64's low bits are
+    markedly more uniform than its high bits: at 917k keys the same p
+    gives max-bucket 16 by low bits vs 36 by high). Gather cost on v5e
+    grows with TABLE BYTES (DRAM locality), so prefer the compact 2-word
+    entry [fp | count << fp_bits, start] whenever the remaining HIGH key
+    bits (fp = key >> p, fp_bits = key_bits - p <= 12) and the largest
+    occurrence count fit one u32; else 4-word [key_hi, key_lo, start,
+    count] entries. Returns (table, p, S, entry_words); (empty, 0, 0, 4)
+    when over cap."""
     U = int(keys.shape[0])
     if U == 0:
         return np.zeros((0, 4), dtype=np.uint32), 0, 0, 4
 
     def bucket_stats(p):
-        shift = key_bits - p
-        pref = (keys >> np.uint64(shift)).astype(np.int64)
+        pref = (keys & np.uint64((1 << p) - 1)).astype(np.int64)
         maxb = int(np.bincount(pref, minlength=1 << p).max())
         S = 4
         while S < maxb:
             S *= 2
-        return shift, pref, S
+        return pref, S
 
     max_count = int(counts.max()) if U else 0
-    best = None  # (bytes, p, shift, pref, S, entry)
+    best = None  # (bytes, p, pref, S, entry)
     p_lo = max(12, int(np.ceil(np.log2(U + 1))) - 2)
     for p in range(min(p_lo, key_bits), min(_MAX_PREFIX_BITS, key_bits) + 1):
-        shift, pref, S = bucket_stats(p)
-        # compact entries need fp (shift bits) + count to share one u32
-        entry = 2 if (shift <= 12 and max_count < (1 << (32 - shift))) else 4
+        pref, S = bucket_stats(p)
+        fp_bits = key_bits - p
+        # compact entries need fp + count to share one u32
+        entry = 2 if (fp_bits <= 12 and max_count < (1 << (32 - fp_bits))) else 4
         nbytes = (1 << p) * S * entry * 4
         if nbytes <= byte_cap and (best is None or nbytes < best[0]):
-            best = (nbytes, p, shift, pref, S, entry)
+            best = (nbytes, p, pref, S, entry)
         if best is not None and p > p_lo + 4:
             break  # larger p only grows the table once maxb bottoms out
     if best is None:
         return np.zeros((0, 4), dtype=np.uint32), 0, 0, 4
-    _, p, shift, pref, S, entry = best
-    # keys are sorted, so prefixes are sorted: within-bucket rank by
-    # first-occurrence subtraction
-    first = np.searchsorted(pref, pref, side="left")
-    slot = pref * S + (np.arange(U) - first)
+    _, p, pref, S, entry = best
+    fp_bits = key_bits - p
+    # within-bucket rank (buckets by low bits are not sorted-contiguous)
+    order = np.argsort(pref, kind="stable")
+    sp = pref[order]
+    first_sorted = np.searchsorted(sp, sp, side="left")
+    rank = np.empty(U, dtype=np.int64)
+    rank[order] = np.arange(U) - first_sorted
+    slot = pref * S + rank
     if entry == 2:
         dm = np.zeros(((1 << p) * S, 2), dtype=np.uint32)
-        fp = (keys & np.uint64((1 << shift) - 1)).astype(np.uint32)
-        dm[slot, 0] = fp | (counts.astype(np.uint32) << np.uint32(shift))
+        fp = (keys >> np.uint64(p)).astype(np.uint32)
+        dm[slot, 0] = fp | (counts.astype(np.uint32) << np.uint32(fp_bits))
         dm[slot, 1] = starts.astype(np.uint32)
     else:
         dm = np.full(((1 << p) * S, 4), 0xFFFFFFFF, dtype=np.uint32)
@@ -226,7 +240,7 @@ def plan_direct_layout(
         dm[slot, 1] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         dm[slot, 2] = starts.astype(np.uint32)
         dm[slot, 3] = counts.astype(np.uint32)
-    return dm.reshape(1 << p, entry * S), shift, S, entry
+    return dm.reshape(1 << p, entry * S), p, S, entry
 
 
 def gather_rows(table: jnp.ndarray, base: jnp.ndarray, S: int) -> jnp.ndarray:
@@ -251,24 +265,24 @@ def index_lookup(idx: DeviceIndex, q: U64Pair):
     direct-mapped table; two-gather prefix fallback otherwise."""
     if idx.dm is not None and idx.dm_slots and idx.dm_entry == 2:
         S = idx.dm_slots
-        p = u64.shr(q, idx.dm_shift).lo.astype(I32)
+        fpb = idx.dm_fp_bits
+        p = (q.lo & U32((1 << idx.dm_bits) - 1)).astype(I32)
         wide = gather_rows(idx.dm, p, 1)  # (..., 1, 2*S)
         rows = wide.reshape(*p.shape, S, 2)
         meta = rows[..., 0]
-        fp = q.lo & U32((1 << idx.dm_shift) - 1)
-        hit = (meta & U32((1 << idx.dm_shift) - 1)) == fp[..., None]
+        fpm = U32((1 << fpb) - 1)
+        fp = u64.shr(q, idx.dm_bits).lo & fpm
+        hit = (meta & fpm) == fp[..., None]
         # empty slots carry count == 0, which is already "absent"
         start = jnp.max(jnp.where(hit, rows[..., 1], U32(0)), axis=-1)
-        count = jnp.max(
-            jnp.where(hit, meta >> U32(idx.dm_shift), U32(0)), axis=-1
-        )
+        count = jnp.max(jnp.where(hit, meta >> U32(fpb), U32(0)), axis=-1)
         return (
             jax.lax.bitcast_convert_type(start, I32),
             jax.lax.bitcast_convert_type(count, I32),
         )
     if idx.dm is not None and idx.dm_slots:
         S = idx.dm_slots
-        p = u64.shr(q, idx.dm_shift).lo.astype(I32)
+        p = (q.lo & U32((1 << idx.dm_bits) - 1)).astype(I32)
         wide = gather_rows(idx.dm, p, 1)  # (..., 1, 4*S)
         rows = wide.reshape(*p.shape, S, 4)
     else:
