@@ -53,6 +53,66 @@ def _shift_left(a: jnp.ndarray, t: int, fill) -> jnp.ndarray:
     return jnp.concatenate([a[..., t:], pad], axis=-1)
 
 
+def _hash64_u32(key: jnp.ndarray, mask: int) -> jnp.ndarray:
+    """hash64 (sketch.rs:4-13) computed entirely in uint32, valid when
+    mask < 2^32: every +/<< is followed by & mask, and arithmetic mod
+    2^32 then mod 2^(2k) equals arithmetic mod 2^(2k)."""
+    m = U32(mask)
+    key = (~key + (key << U32(21))) & m
+    key = key ^ (key >> U32(24))
+    key = (key + (key << U32(3)) + (key << U32(8))) & m
+    key = key ^ (key >> U32(14))
+    key = (key + (key << U32(2)) + (key << U32(4))) & m
+    key = key ^ (key >> U32(28))
+    key = (key + (key << U32(31))) & m
+    return key
+
+
+def kmer_keys32(codes: jnp.ndarray, k: int):
+    """kmer_keys for 2k <= 31: the whole canonical k-mer fits one uint32
+    lane, halving (or better) every sketch-kernel pass vs the u64-pair
+    formulation. Same span-doubling recurrences."""
+    is_base = codes < 4
+    c = jnp.where(is_base, codes, 0).astype(U32)
+    fwd = c
+    rev = U32(3) ^ c
+    s = 1
+    while s < k:
+        t = min(s, k - s)
+        fwd_prev = _shift_right(fwd, t, U32(0))
+        rev_prev = _shift_right(rev, t, U32(0))
+        fwd = (fwd_prev << U32(2 * t)) | (fwd & U32((1 << (2 * t)) - 1))
+        rev = ((rev >> U32(2 * (s - t))) << U32(2 * s)) | rev_prev
+        s += t
+    mask = U32((1 << (2 * k)) - 1)
+    fwd = fwd & mask
+    rev = rev & mask
+    sym = fwd == rev
+    strand = rev < fwd
+    canon = jnp.where(strand, rev, fwd)
+    return canon, strand, sym
+
+
+_INV32 = 0xFFFFFFFF  # invalid-key sentinel; real keys < 2^31 when 2k <= 31
+
+
+def window_fold_min32(kv: jnp.ndarray, idx: jnp.ndarray, w: int):
+    """window_fold_min on uint32 comparison keys (non-HPC spans are all
+    exactly k, so comparing the bare hashed key preserves the reference's
+    (key<<8|span) ordering)."""
+    wmin, widx = kv, idx
+    span = 1
+    while span < w:
+        step = min(span, w - span)
+        sh = _shift_right(wmin, step, U32(_INV32))
+        sh_idx = _shift_right(widx, step, I32(-1))
+        better = sh < wmin
+        wmin = jnp.where(better, sh, wmin)
+        widx = jnp.where(better, sh_idx, widx)
+        span += step
+    return wmin, widx
+
+
 def kmer_keys(codes: jnp.ndarray, k: int):
     """Per-position canonical k-mer as uint32 pairs + strand, via span
     doubling:
@@ -128,7 +188,14 @@ def sketch_positions(
     last_bad = jax.lax.cummax(jnp.where(~is_base, idx, I32(-1)), axis=1)
     depth = idx - last_bad  # bases since reset (valid positions only)
 
-    canon, strand, sym = kmer_keys(jnp.where(is_base, codes, 4), k)
+    # u32 fast path: with 2k+1 <= 32 the whole hashed key fits one lane
+    # (sentinel 0xFFFFFFFF stays distinct) and non-HPC spans are all
+    # exactly k, so every window/emission comparison runs single-word
+    fast32 = (not is_hpc) and (2 * k + 1 <= 32)
+    if fast32:
+        canon32, strand, sym = kmer_keys32(jnp.where(is_base, codes, 4), k)
+    else:
+        canon, strand, sym = kmer_keys(jnp.where(is_base, codes, 4), k)
     # l_eff: non-symmetric valid positions since reset. cs is
     # nondecreasing, so cs[last_bad] == running max of cs over bad
     # positions — a cummax instead of a (B, L) take_along_axis gather
@@ -161,19 +228,50 @@ def sketch_positions(
         kspan = jnp.minimum(depth, k)
 
     valid = is_base & ~sym & (l_eff >= k) & (kspan < 256)
-    key = u64.hash64(canon, (1 << (2 * k)) - 1)
-    ks = u64.or_(u64.shl(key, 8), u64.U64Pair(jnp.zeros_like(key.hi), kspan.astype(U32)))
-    ks = u64.where(valid, ks, u64.full_like(ks, u64.UMAX))
+    if fast32:
+        key32 = _hash64_u32(canon32, (1 << (2 * k)) - 1)
+        ksc = jnp.where(valid, key32, U32(_INV32))
+
+        def K_tail(a, d):  # a[..., :-d]
+            return a[..., : a.shape[-1] - d]
+
+        def K_head(a, d):  # a[..., d:]
+            return a[..., d:]
+
+        K_eq = lambda a, b: a == b
+        K_gt = lambda a, b: a > b
+        K_shr1 = lambda a: _shift_right(a, 1, U32(_INV32))
+        K_isinv = lambda a: a == U32(_INV32)
+        wfold = window_fold_min32
+    else:
+        key = u64.hash64(canon, (1 << (2 * k)) - 1)
+        ksc = u64.or_(
+            u64.shl(key, 8),
+            u64.U64Pair(jnp.zeros_like(key.hi), kspan.astype(U32)),
+        )
+        ksc = u64.where(valid, ksc, u64.full_like(ksc, u64.UMAX))
+
+        def K_tail(a, d):
+            return u64.U64Pair(a.hi[..., : a.hi.shape[-1] - d], a.lo[..., : a.lo.shape[-1] - d])
+
+        def K_head(a, d):
+            return u64.U64Pair(a.hi[..., d:], a.lo[..., d:])
+
+        K_eq = u64.eq
+        K_gt = u64.gt
+        K_shr1 = lambda a: _shift_right_u64(a, 1, u64.UMAX)
+        K_isinv = lambda a: u64.eq(a, u64.full_like(a, u64.UMAX))
+        wfold = window_fold_min
     pos_strand = ((idx.astype(U32) << U32(1)) | strand.astype(U32))
     pos_strand = jnp.where(valid, pos_strand, U32(0xFFFFFFFF))
 
     # window min + newest tied index, width w and w-1
-    wmin, widx = window_fold_min(ks, idx, w)
+    wmin, widx = wfold(ksc, idx, w)
     if w > 1:
-        wmin1, widx1 = window_fold_min(ks, idx, w - 1)
+        wmin1, widx1 = wfold(ksc, idx, w - 1)
     else:
-        wmin1, widx1 = ks, idx  # unused when w == 1 (no prev-buffer)
-    valid_w = ~u64.eq(wmin, u64.full_like(wmin, u64.UMAX))
+        wmin1, widx1 = ksc, idx  # unused when w == 1 (no prev-buffer)
+    valid_w = ~K_isinv(wmin)
 
     complete = l_eff >= (w + k - 1)
     hit = complete & valid_w
@@ -183,12 +281,9 @@ def sketch_positions(
     emitted = jnp.zeros((B, L), dtype=bool)
     for d in range(w):
         if d == 0:
-            emitted |= hit & u64.eq(ks, wmin)
+            emitted |= hit & K_eq(ksc, wmin)
         elif d < L:
-            cond = hit[..., d:] & u64.eq(
-                u64.U64Pair(ks.hi[..., :-d], ks.lo[..., :-d]),
-                u64.U64Pair(wmin.hi[..., d:], wmin.lo[..., d:]),
-            )
+            cond = hit[..., d:] & K_eq(K_tail(ksc, d), K_head(wmin, d))
             emitted = emitted.at[..., : L - d].max(cond)
 
     if w > 1:
@@ -199,22 +294,19 @@ def sketch_positions(
         # bounded loop of shifted masked ORs (XLA scatters cost ~10 ms
         # per (B, L) call on v5e; these are plain VPU passes).
         compl_e = l_eff == (w + k - 1)
-        m1 = _shift_right_u64(wmin1, 1, u64.UMAX)
+        m1 = K_shr1(wmin1)
         M = _shift_right(widx1, 1, I32(-1))
-        m1_valid = compl_e & ~u64.eq(m1, u64.full_like(m1, u64.UMAX))
+        m1_valid = compl_e & ~K_isinv(m1)
         for d in range(1, w):
             if d >= L:
                 break
             cond = (
                 m1_valid[..., d:]
-                & u64.eq(
-                    u64.U64Pair(ks.hi[..., :-d], ks.lo[..., :-d]),
-                    u64.U64Pair(m1.hi[..., d:], m1.lo[..., d:]),
-                )
+                & K_eq(K_tail(ksc, d), K_head(m1, d))
                 & ((idx[..., :-d]) != M[..., d:])
             )
             emitted = emitted.at[..., : L - d].max(cond)
-        m_val = u64.gt(ks, m1)  # value assigned to emitted[M]
+        m_val = K_gt(ksc, m1)  # value assigned to emitted[M]
         set_mask = jnp.zeros((B, L), dtype=bool)
         set_val = jnp.zeros((B, L), dtype=bool)
         for d in range(1, w):  # M[e] = e - d, d in [1, w-1]
@@ -247,6 +339,15 @@ def sketch_positions(
     fin_idx = jnp.take_along_axis(widx, last[:, None], axis=1)[:, 0]
     emitted = emitted.at[rows1, jnp.where(fin_valid, fin_idx, 0)].max(fin_valid)
 
+    if fast32:
+        # materialize the (key<<8 | span) u64 pair the rest of the
+        # pipeline consumes (span == k on every valid position)
+        ks = u64.U64Pair(
+            jnp.where(valid, key32 >> U32(24), U32(0xFFFFFFFF)),
+            jnp.where(valid, (key32 << U32(8)) | U32(k), U32(0xFFFFFFFF)),
+        )
+    else:
+        ks = ksc
     return ks, pos_strand, emitted
 
 

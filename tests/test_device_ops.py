@@ -259,3 +259,30 @@ def test_pallas_aux_chain_matches_scan(device_setup):
     o2 = chain_dp_aux_batch_pallas(*args, scal, A)
     for a, b in zip(o1, o2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("w,k", [(10, 15), (5, 11), (19, 19), (3, 16)])
+def test_device_sketch_matches_oracle_wk(w, k):
+    """Covers both the u32 fast path (2k+1 <= 32) and the u64 path."""
+    rng = np.random.default_rng(100 + w * k)
+    seqs = []
+    for _ in range(5):
+        n = int(rng.integers(60, 300))
+        s = rng.choice(list(b"ACGTN"), size=n, p=[0.3, 0.25, 0.2, 0.22, 0.03])
+        seqs.append(bytes(s.astype(np.uint8)))
+    seqs.append(b"AC" * 40 + b"N" + b"GGT" * 30)  # tie/reset heavy
+    L = 384
+    B = len(seqs)
+    codes = np.full((B, L), 4, dtype=np.int32)
+    lengths = np.zeros(B, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        codes[i, : len(s)] = nt4_encode(s)
+        lengths[i] = len(s)
+    ks, ps, em = sketch_positions(jnp.asarray(codes), jnp.asarray(lengths), w, k, False)
+    em = np.asarray(em)
+    keys = _pairs_to_u64(ks.hi, ks.lo)
+    psn = np.asarray(ps)
+    for b, s in enumerate(seqs):
+        dev = {(int(keys[b, j]), int(psn[b, j])) for j in np.nonzero(em[b])[0]}
+        exact = {(kk, r & 0xFFFFFFFF) for kk, r in sketch_sequence(s, w, k)}
+        assert dev == exact, (b, w, k)
