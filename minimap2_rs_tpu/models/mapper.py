@@ -437,10 +437,12 @@ class Mapper:
                     (fr[:, col["mini_ovf"]] != 0)
                     | (fr[:, col["anc_ovf"]] != 0)
                     | (fr[:, col["win_ovf"]] != 0)
-                )
+                ).tolist()  # plain bools: numpy scalar boxing dominates the loop
+                offl = off.tolist()
                 for bi, ri in enumerate(chunk):
-                    if off[bi + 1] > off[bi]:
-                        results[ri] = [text[off[bi] : off[bi + 1]]]
+                    a, b = offl[bi], offl[bi + 1]
+                    if b > a:
+                        results[ri] = [text[a:b]]
                     elif ovf[bi]:
                         if mode == "normal":
                             self._tier2_queue.append(ri)
