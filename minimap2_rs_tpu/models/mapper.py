@@ -564,11 +564,13 @@ class Mapper:
             bucket, gmult = gkey if mult is None else (gkey, mult)
             M, A, window, B = self._shapes_for(bucket, gmult)
             if lite and gmult == 1:
-                # long-read fast path: most data needs far fewer than
-                # max_chain_iter predecessors; the lite stage flags the
-                # rare reads that don't (win_ovf) and they re-run at the
-                # full window in the 4x tier
-                window = min(window, 2048)
+                # long-read fast path: anchors within max_dist_x (5000 bp)
+                # average ~740 window slots at w=10 emission density, so
+                # 1024 covers typical reads; the lite stage flags the rare
+                # denser reads exactly (win_ovf: x[i] - x[i-window] still
+                # inside max_dist_x) and they re-run at the full window in
+                # the 4x tier
+                window = min(window, 1024)
             for c0 in range(0, len(idxs), B):
                 chunk = idxs[c0 : c0 + B]
                 # pad the batch dimension to a fixed size so every call
