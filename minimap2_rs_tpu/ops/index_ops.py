@@ -220,7 +220,20 @@ def plan_direct_layout(
     if best is None:
         return np.zeros((0, 4), dtype=np.uint32), 0, 0, 4
     _, p, pref, S, entry = best
+    return fill_direct_table(keys, starts, counts, key_bits, p, S, entry), p, S, entry
+
+
+def fill_direct_table(
+    keys: np.ndarray, starts: np.ndarray, counts: np.ndarray,
+    key_bits: int, p: int, S: int, entry: int,
+) -> np.ndarray:
+    """Build one direct-mapped table at a FORCED (p, S, entry) layout —
+    shared by the single-chip planner above and the sharded builder,
+    which needs one uniform layout across shards so a single compiled
+    program serves every device."""
+    U = int(keys.shape[0])
     fp_bits = key_bits - p
+    pref = (keys & np.uint64((1 << p) - 1)).astype(np.int64)
     # within-bucket rank (buckets by low bits are not sorted-contiguous)
     order = np.argsort(pref, kind="stable")
     sp = pref[order]
@@ -240,7 +253,7 @@ def plan_direct_layout(
         dm[slot, 1] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         dm[slot, 2] = starts.astype(np.uint32)
         dm[slot, 3] = counts.astype(np.uint32)
-    return dm.reshape(1 << p, entry * S), p, S, entry
+    return dm.reshape(1 << p, entry * S)
 
 
 def gather_rows(table: jnp.ndarray, base: jnp.ndarray, S: int) -> jnp.ndarray:

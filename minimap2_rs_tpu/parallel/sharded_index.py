@@ -39,20 +39,27 @@ class ShardedDeviceIndex:
     kv: jnp.ndarray      # (D, U_loc + S, 4) uint32 [key_hi, key_lo, start, count]
     pos: jnp.ndarray     # (D, P_loc, 2) uint32 [rid, pos<<1|strand]
     prefix: jnp.ndarray  # (D, 2^bits + 1) int32 per-shard prefix lower bounds
+    dm: jnp.ndarray = None  # (D, 2^dm_bits, entry*S) per-shard direct tables
     prefix_shift: int = 0
     bucket_slots: int = 8
     n_keys_local: int = 0  # static: unpadded rows per shard (upper bound)
+    dm_bits: int = 0
+    dm_slots: int = 0
+    dm_entry: int = 4
+    dm_fp_bits: int = 0
 
     def tree_flatten(self):
         return (
-            (self.kv, self.pos, self.prefix),
-            (self.prefix_shift, self.bucket_slots, self.n_keys_local),
+            (self.kv, self.pos, self.prefix, self.dm),
+            (self.prefix_shift, self.bucket_slots, self.n_keys_local,
+             self.dm_bits, self.dm_slots, self.dm_entry, self.dm_fp_bits),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, prefix_shift=aux[0], bucket_slots=aux[1],
-                   n_keys_local=aux[2])
+                   n_keys_local=aux[2], dm_bits=aux[3], dm_slots=aux[4],
+                   dm_entry=aux[5], dm_fp_bits=aux[6])
 
     @property
     def n_shards(self) -> int:
@@ -87,8 +94,11 @@ class ShardedDeviceIndex:
         """Inside shard_map: this shard's slice as a plain DeviceIndex."""
         return DeviceIndex(
             kv=self.kv[0], pos=self.pos[0], prefix=self.prefix[0],
+            dm=self.dm[0] if self.dm is not None and self.dm_slots else None,
             prefix_shift=self.prefix_shift, bucket_slots=self.bucket_slots,
-            n_keys=self.n_keys_local,
+            n_keys=self.n_keys_local, dm_bits=self.dm_bits,
+            dm_slots=self.dm_slots, dm_entry=self.dm_entry,
+            dm_fp_bits=self.dm_fp_bits,
         )
 
     @staticmethod
@@ -148,7 +158,48 @@ class ShardedDeviceIndex:
             m = p_hi - p_lo
             pos[s, :m, 0] = (positions[p_lo:p_hi] >> np.uint64(32)).astype(np.uint32)
             pos[s, :m, 1] = (positions[p_lo:p_hi] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+        # one uniform direct-mapped layout across shards (one compiled
+        # program serves every device); S_dm covers the worst shard
+        from ..ops.index_ops import _DM_BYTE_CAP, fill_direct_table
+
+        max_count = int(counts.max()) if U else 0
+        best = None  # (bytes, p, S_dm, entry)
+        p_lo_bits = max(12, int(np.ceil(np.log2(u_loc + 1))) - 2)
+        for p in range(min(p_lo_bits, key_bits),
+                       min(_MAX_PREFIX_BITS, key_bits) + 1):
+            maxb = 1
+            for s, (lo_k, hi_k, _pl, _ph) in enumerate(slices):
+                if hi_k > lo_k:
+                    pr = (keys[lo_k:hi_k] & np.uint64((1 << p) - 1)).astype(np.int64)
+                    maxb = max(maxb, int(np.bincount(pr, minlength=1 << p).max()))
+            S_dm = 4
+            while S_dm < maxb:
+                S_dm *= 2
+            fp_bits = key_bits - p
+            entry = 2 if (fp_bits <= 12 and max_count < (1 << (32 - fp_bits))) else 4
+            nbytes = (1 << p) * S_dm * entry * 4 * n_shards
+            if nbytes <= _DM_BYTE_CAP and (best is None or nbytes < best[0]):
+                best = (nbytes, p, S_dm, entry)
+            if best is not None and p > p_lo_bits + 4:
+                break
+        if best is not None:
+            _, dm_p, dm_S, dm_entry = best
+            dm = np.stack([
+                fill_direct_table(
+                    keys[lo_k:hi_k], starts[lo_k:hi_k] - p_lo,
+                    counts[lo_k:hi_k], key_bits, dm_p, dm_S, dm_entry,
+                )
+                for (lo_k, hi_k, p_lo, _ph) in slices
+            ])
+        else:
+            dm_p = dm_S = 0
+            dm_entry = 4
+            dm = np.zeros((n_shards, 0, 4), dtype=np.uint32)
         return ShardedDeviceIndex(
             kv=jnp.asarray(kv), pos=jnp.asarray(pos), prefix=jnp.asarray(ptab),
+            dm=jnp.asarray(dm),
             prefix_shift=shift, bucket_slots=S, n_keys_local=u_loc,
+            dm_bits=dm_p, dm_slots=dm_S, dm_entry=dm_entry,
+            dm_fp_bits=max(0, key_bits - dm_p),
         )
