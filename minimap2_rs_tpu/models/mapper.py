@@ -432,7 +432,9 @@ class Mapper:
             )
             if out is not None:
                 blob, off = out
-                text = blob.decode("latin-1")
+                # line offsets are BYTE offsets; whole-blob str slicing is
+                # only safe when every byte is one char
+                text = blob.decode("ascii") if blob.isascii() else None
                 ovf = (
                     (fr[:, col["mini_ovf"]] != 0)
                     | (fr[:, col["anc_ovf"]] != 0)
@@ -442,7 +444,10 @@ class Mapper:
                 for bi, ri in enumerate(chunk):
                     a, b = offl[bi], offl[bi + 1]
                     if b > a:
-                        results[ri] = [text[a:b]]
+                        results[ri] = [
+                            text[a:b] if text is not None
+                            else blob[a:b].decode()
+                        ]
                     elif ovf[bi]:
                         if mode == "normal":
                             self._tier2_queue.append(ri)
@@ -673,9 +678,7 @@ class Mapper:
         dv; Python only formats the lines."""
         from ..runtime.host import native_postprocess
 
-        if not hasattr(self, "_tlens"):
-            self._tlens = np.array([s.length for s in self.idx.seq], dtype=np.int32)
-            self._tnames = [s.name or "*" for s in self.idx.seq]
+        self._ensure_meta()
         tlens = self._tlens
         for bi, ri in enumerate(chunk):
             qname, qseq = reads[ri]

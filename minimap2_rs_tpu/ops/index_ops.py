@@ -195,32 +195,43 @@ def plan_direct_layout(
     U = int(keys.shape[0])
     if U == 0:
         return np.zeros((0, 4), dtype=np.uint32), 0, 0, 4
+    layout = choose_direct_layout([keys], key_bits, int(counts.max()), byte_cap)
+    if layout is None:
+        return np.zeros((0, 4), dtype=np.uint32), 0, 0, 4
+    p, S, entry = layout
+    return fill_direct_table(keys, starts, counts, key_bits, p, S, entry), p, S, entry
 
-    def bucket_stats(p):
-        pref = (keys & np.uint64((1 << p) - 1)).astype(np.int64)
-        maxb = int(np.bincount(pref, minlength=1 << p).max())
+
+def choose_direct_layout(
+    key_slices: list, key_bits: int, max_count: int,
+    byte_cap: int = _DM_BYTE_CAP,
+):
+    """Pick one (p, S, entry) layout covering every key slice (one per
+    shard; a single slice for the unsharded index). byte_cap bounds ONE
+    table — each device holds exactly one. Returns None when infeasible."""
+    sizes = max(max(int(ks.shape[0]) for ks in key_slices), 1)
+    best = None  # (bytes, p, S, entry)
+    p_lo = max(12, int(np.ceil(np.log2(sizes + 1))) - 2)
+    for p in range(min(p_lo, key_bits), min(_MAX_PREFIX_BITS, key_bits) + 1):
+        maxb = 1
+        for ks in key_slices:
+            if ks.shape[0]:
+                pref = (ks & np.uint64((1 << p) - 1)).astype(np.int64)
+                maxb = max(maxb, int(np.bincount(pref, minlength=1 << p).max()))
         S = 4
         while S < maxb:
             S *= 2
-        return pref, S
-
-    max_count = int(counts.max()) if U else 0
-    best = None  # (bytes, p, pref, S, entry)
-    p_lo = max(12, int(np.ceil(np.log2(U + 1))) - 2)
-    for p in range(min(p_lo, key_bits), min(_MAX_PREFIX_BITS, key_bits) + 1):
-        pref, S = bucket_stats(p)
         fp_bits = key_bits - p
         # compact entries need fp + count to share one u32
         entry = 2 if (fp_bits <= 12 and max_count < (1 << (32 - fp_bits))) else 4
         nbytes = (1 << p) * S * entry * 4
         if nbytes <= byte_cap and (best is None or nbytes < best[0]):
-            best = (nbytes, p, pref, S, entry)
+            best = (nbytes, p, S, entry)
         if best is not None and p > p_lo + 4:
             break  # larger p only grows the table once maxb bottoms out
     if best is None:
-        return np.zeros((0, 4), dtype=np.uint32), 0, 0, 4
-    _, p, pref, S, entry = best
-    return fill_direct_table(keys, starts, counts, key_bits, p, S, entry), p, S, entry
+        return None
+    return best[1], best[2], best[3]
 
 
 def fill_direct_table(

@@ -65,7 +65,9 @@ def compact_left(
     live = mask
     arrs = list(payloads) + [delta]
     b = 0
-    while (1 << b) < L:
+    # at least one pass even for L == 1: the b=0 pass is what writes the
+    # documented fills into dead slots
+    while (1 << b) < L or b == 0:
         s = 1 << b
         move = live & (((arrs[-1] >> b) & 1) == 1)
         inc = _shl(move, s, False)
@@ -105,6 +107,7 @@ def spread_right(
     nbits = 0
     while (1 << nbits) < hi:
         nbits += 1
+    nbits = max(nbits, 1)  # >= one pass so dead slots get the fills
     for b in reversed(range(nbits)):
         s = 1 << b
         move = live & (((arrs[-1] >> b) & 1) == 1)

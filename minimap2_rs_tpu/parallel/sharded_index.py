@@ -160,31 +160,16 @@ class ShardedDeviceIndex:
             pos[s, :m, 1] = (positions[p_lo:p_hi] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
         # one uniform direct-mapped layout across shards (one compiled
-        # program serves every device); S_dm covers the worst shard
-        from ..ops.index_ops import _DM_BYTE_CAP, fill_direct_table
+        # program serves every device); S covers the worst shard, and the
+        # byte cap bounds ONE table — each device holds exactly one
+        from ..ops.index_ops import choose_direct_layout, fill_direct_table
 
-        max_count = int(counts.max()) if U else 0
-        best = None  # (bytes, p, S_dm, entry)
-        p_lo_bits = max(12, int(np.ceil(np.log2(u_loc + 1))) - 2)
-        for p in range(min(p_lo_bits, key_bits),
-                       min(_MAX_PREFIX_BITS, key_bits) + 1):
-            maxb = 1
-            for s, (lo_k, hi_k, _pl, _ph) in enumerate(slices):
-                if hi_k > lo_k:
-                    pr = (keys[lo_k:hi_k] & np.uint64((1 << p) - 1)).astype(np.int64)
-                    maxb = max(maxb, int(np.bincount(pr, minlength=1 << p).max()))
-            S_dm = 4
-            while S_dm < maxb:
-                S_dm *= 2
-            fp_bits = key_bits - p
-            entry = 2 if (fp_bits <= 12 and max_count < (1 << (32 - fp_bits))) else 4
-            nbytes = (1 << p) * S_dm * entry * 4 * n_shards
-            if nbytes <= _DM_BYTE_CAP and (best is None or nbytes < best[0]):
-                best = (nbytes, p, S_dm, entry)
-            if best is not None and p > p_lo_bits + 4:
-                break
-        if best is not None:
-            _, dm_p, dm_S, dm_entry = best
+        layout = choose_direct_layout(
+            [keys[lo_k:hi_k] for (lo_k, hi_k, _pl, _ph) in slices],
+            key_bits, int(counts.max()) if U else 0,
+        )
+        if layout is not None:
+            dm_p, dm_S, dm_entry = layout
             dm = np.stack([
                 fill_direct_table(
                     keys[lo_k:hi_k], starts[lo_k:hi_k] - p_lo,

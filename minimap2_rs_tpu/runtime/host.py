@@ -224,7 +224,7 @@ def native_format_lite(
     )
     if total < 0:
         return None  # capacity miss (absurdly long names); Python path
-    return out.tobytes()[:total], line_off
+    return out[:total].tobytes(), line_off
 
 
 def native_sketch(seq: bytes, w: int, k: int, rid: int = 0, is_hpc: bool = False):

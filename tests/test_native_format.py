@@ -40,6 +40,9 @@ def test_native_format_lite_byte_identical():
     )
     reads = simulate_reads(genome, 192, read_len=(200, 900), seed=12)
     rl = [(n, s) for n, s, *_ in reads] + [("empty", b""), ("tiny", b"ACG")]
+    # non-ASCII name: byte offsets from the C formatter must slice bytes,
+    # not a latin-1-decoded string
+    rl[0] = ("señal-α", rl[0][1])
     cp = ChainParams.defaults_for_k(15)
     mp = MapParams()
 
