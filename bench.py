@@ -58,14 +58,17 @@ def main() -> int:
     mapper.map_reads(rl)
     log(f"warmup (compile): {time.time()-t0:.1f}s")
 
-    # best of 3 measured passes: a single pass is ~15% noisy through the
-    # shared TPU relay, and steady-state capability is the honest number
-    dt = float("inf")
+    # median of 3 measured passes as the headline (a single pass is ~15%
+    # noisy through the shared TPU relay; min would systematically report
+    # the luckiest pass)
+    times = []
     for _ in range(3):
         t0 = time.time()
         lines = mapper.map_reads(rl)
-        dt = min(dt, time.time() - t0)
-    log(f"mapped {len(rl)} reads ({total_bp} bp) in {dt:.2f}s -> {len(lines)} records")
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]
+    log(f"mapped {len(rl)} reads ({total_bp} bp) in {dt:.2f}s "
+        f"(passes: {[round(t, 2) for t in times]}) -> {len(lines)} records")
 
     # only count reads that produced a mapping as "aligned"
     mapped_names = {l.split("\t", 1)[0] for l in lines}

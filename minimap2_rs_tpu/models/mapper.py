@@ -105,6 +105,8 @@ def _fused_map_stage(
     """The whole per-batch device pipeline as one XLA program."""
     if packed:
         codes = _unpack_codes4(codes)
+    # seeds_ops packs query pos<<1|strand into 23 bits (span<<23 | ps)
+    assert codes.shape[-1] <= 1 << 22, "reads longer than 4M bases unsupported"
     ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
     cks, cps, n_mini, mini_ovf = compact_minimizers(ks, ps, emitted, M)
     sks, sps = sort_minimizers_by_key(cks, cps)
@@ -183,6 +185,7 @@ def _fused_map_stage_lite(
 
     if packed:
         codes = _unpack_codes4(codes)
+    assert codes.shape[-1] <= 1 << 22, "reads longer than 4M bases unsupported"
     ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
     cks, cps, n_mini, mini_ovf = compact_minimizers(ks, ps, emitted, M)
     sks, sps = sort_minimizers_by_key(cks, cps)
@@ -202,20 +205,25 @@ def _fused_map_stage_lite(
     # exact window-truncation detector: with anchors sorted by x, a
     # predecessor farther than `window` slots can pass the reference's
     # max_dist_x gate (lchain.rs:75) only if x[i] - x[i-window] <= mdx;
-    # flagged reads re-run with the full max_chain_iter window
-    win_ovf = None
-    if flag_window_ovf and A > window:
+    # flagged reads re-run with the full max_chain_iter window. Computed
+    # PER BAND with that band's own max_dist_x — the wide row runs at
+    # bw_long (lchain.rs:321-330) where a predecessor beyond the window
+    # cap is far more likely to still be in band.
+    def _win_ovf_for(mdx):
+        if not (flag_window_ovf and A > window):
+            return None
         from ..ops import u64 as _u64
 
         xa = _u64.U64Pair(x_hi, x_lo)
-        thr = _u64.sub_u32_sat(xa, scalars.max_dist_x)
+        thr = _u64.sub_u32_sat(xa, mdx)
         far = _u64.le(
             _u64.U64Pair(thr.hi[:, window:], thr.lo[:, window:]),
             _u64.U64Pair(x_hi[:, :-window], x_lo[:, :-window]),
         )
         slot = jnp.arange(window, A, dtype=I32)[None, :]
         far = far & (slot < n_anchors[:, None])
-        win_ovf = jnp.any(far, axis=1)
+        return jnp.any(far, axis=1)
+
     if hpc:
         spans = (y_hi & jnp.uint32(0xFF)).astype(I32)
         mslot = jnp.arange(M, dtype=I32)[None, :]
@@ -233,7 +241,8 @@ def _fused_map_stage_lite(
             f, cnt, sq, sr, x_hi, x_lo, y_lo, n_anchors,
             mini_pos, n_mini, lengths, tlens, mini_ovf, anc_ovf,
             k, rmq_rescue_size, rmq_rescue_ratio,
-            win_ovf=win_ovf, spans=spans, sum_span=sum_span,
+            win_ovf=_win_ovf_for(scal.max_dist_x), spans=spans,
+            sum_span=sum_span,
         ))
     # resolve the rescue switch on device: ship one (B, 18) row per read
     # (D2H bandwidth through the relay is ~24 MB/s, so halving the
@@ -321,7 +330,16 @@ class Mapper:
     mini_frac: float = 0.25   # minimizer slots per base of bucket
     anchor_frac: float = 0.25  # anchor slots per base of bucket
     slot_target: int = 1 << 20  # anchor slots per device call
+    # lite-path chain window cap (slots): anchors within max_dist_x
+    # average ~740 slots at w=10 emission density, so 1024 covers typical
+    # reads; denser reads are flagged exactly (win_ovf) and re-run wider
+    lite_window_cap: int = 1024
     stats: dict = dataclasses.field(default_factory=dict)
+
+    def __post_init__(self):
+        # the anchor expansion packs query pos<<1|strand into 23 bits
+        # (ops/seeds_ops.py); longer buckets would silently wrap coords
+        assert max(self.buckets) <= 1 << 22, "buckets must be <= 4M bases"
 
     def _t(self, key: str, dt: float):
         self.stats[key] = self.stats.get(key, 0.0) + dt
@@ -569,13 +587,11 @@ class Mapper:
             bucket, gmult = gkey if mult is None else (gkey, mult)
             M, A, window, B = self._shapes_for(bucket, gmult)
             if lite and gmult == 1:
-                # long-read fast path: anchors within max_dist_x (5000 bp)
-                # average ~740 window slots at w=10 emission density, so
-                # 1024 covers typical reads; the lite stage flags the rare
-                # denser reads exactly (win_ovf: x[i] - x[i-window] still
-                # inside max_dist_x) and they re-run at the full window in
-                # the 4x tier
-                window = min(window, 1024)
+                # long-read fast path: the lite stage flags reads whose
+                # truncated window loses an in-band predecessor exactly
+                # (win_ovf, per band) and they re-run at the full window
+                # in the 4x tier
+                window = min(window, self.lite_window_cap)
             for c0 in range(0, len(idxs), B):
                 chunk = idxs[c0 : c0 + B]
                 # pad the batch dimension to a fixed size so every call

@@ -1,0 +1,143 @@
+"""Shared device pipeline stages.
+
+The mapping pipeline (sketch -> minimizer compaction -> occ filter ->
+index lookup -> anchor expansion -> chain DP -> on-device finalize) is
+composed three ways:
+
+  * the single-chip fused jits in models/mapper.py,
+  * the data-parallel mesh step (reads sharded over "dp", index
+    replicated) in parallel/pipeline.py, and
+  * the hash-range-sharded mesh step, which splits between
+    `sketch_to_anchors` and `chain_finalize_lite` to insert the
+    all_to_all anchor exchange (parallel/pipeline.py).
+
+Reference analog: the whole align stack /root/reference/src/main.rs:189-230,
+distributed per SURVEY.md section 2's parallelism table.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.chain_ops import ChainScalars
+from ..ops.index_ops import DeviceIndex
+from ..ops.seeds_ops import build_anchors_device, query_occ_filter, sort_minimizers_by_key
+from ..ops.sketch import compact_minimizers, sketch_positions
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+def sketch_to_anchors(
+    dev_idx: DeviceIndex,
+    codes: jnp.ndarray,     # (B, L) int32 nt4 codes
+    lengths: jnp.ndarray,   # (B,) int32
+    mid_occ: jnp.ndarray,   # scalar int32
+    *,
+    w: int, k: int, hpc: bool, q_occ_max: int, q_occ_frac: float,
+    M: int, A: int,
+) -> dict:
+    """Per-read minimizers + anchors against (this shard of) the index.
+
+    Returns a dict of (B, ...) arrays: sorted anchors x_hi/x_lo/y_hi/y_lo
+    (padding x_hi = 0xFFFFFFFF), n_anchors, anc_ovf, position-sorted
+    minimizer payloads cps (pos<<1|strand), mini_span (low key byte;
+    None unless hpc), n_mini, mini_ovf."""
+    ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
+    cks, cps, n_mini, mini_ovf = compact_minimizers(ks, ps, emitted, M)
+    sks, sps = sort_minimizers_by_key(cks, cps)
+    keep = query_occ_filter(sks, n_mini, q_occ_max, q_occ_frac)
+    x_hi, x_lo, y_hi, y_lo, n_anchors, anc_ovf = build_anchors_device(
+        dev_idx, sks, sps, keep, lengths, mid_occ, A
+    )
+    return dict(
+        x_hi=x_hi, x_lo=x_lo, y_hi=y_hi, y_lo=y_lo,
+        n_anchors=n_anchors, anc_ovf=anc_ovf,
+        cps=cps, mini_span=(cks.lo & U32(0xFF)) if hpc else None,
+        n_mini=n_mini, mini_ovf=mini_ovf,
+    )
+
+
+def chain_finalize_lite(
+    anc: dict,               # sketch_to_anchors output (possibly exchanged)
+    lengths: jnp.ndarray,    # (B,) int32
+    scalars: ChainScalars,
+    scalars_wide: ChainScalars,
+    tlens: jnp.ndarray,      # (n_seq,) int32
+    rmq_rescue_size: jnp.ndarray,
+    rmq_rescue_ratio: jnp.ndarray,
+    *,
+    k: int, hpc: bool, window: int,
+    pallas_chain: bool = False,
+    flag_window_ovf: bool = False,
+) -> jnp.ndarray:
+    """Dual-band chain DP + on-device finalization; returns the (B, 18)
+    int32 PAF field rows (ops/finalize_ops.FIELDS), already switched to
+    the bw_long wide-band result for reads whose normal-band rescue flag
+    fired (lchain.rs:321-330, resolved without a round-trip).
+
+    The window-truncation flag is computed PER BAND with that band's own
+    max_dist_x — the wide row runs at bw_long where a predecessor beyond
+    the window cap is far more likely to still be in band."""
+    from ..ops.finalize_ops import FIELDS, finalize_from_aux
+
+    if pallas_chain:
+        from ..ops.chain_pallas import chain_dp_aux_batch_pallas as _chain_fn
+    else:
+        from ..ops.chain_ops import chain_dp_aux_batch as _chain_fn
+
+    x_hi, x_lo, y_hi, y_lo = anc["x_hi"], anc["x_lo"], anc["y_hi"], anc["y_lo"]
+    n_anchors, anc_ovf = anc["n_anchors"], anc["anc_ovf"]
+    cps, n_mini, mini_ovf = anc["cps"], anc["n_mini"], anc["mini_ovf"]
+    B, A = x_hi.shape
+    M = cps.shape[1]
+    mini_pos = cps >> U32(1)  # position-sorted; padding stays max
+    args = (
+        x_hi, x_lo.astype(I32), y_lo.astype(I32),
+        (y_hi & U32(0xFF)).astype(I32),
+    )
+
+    def _win_ovf_for(mdx):
+        # exact truncation detector: with anchors sorted by x, a
+        # predecessor farther than `window` slots can pass the reference's
+        # max_dist_x gate (lchain.rs:75) only if x[i] - x[i-window] <= mdx
+        if not (flag_window_ovf and A > window):
+            return None
+        from ..ops import u64 as _u64
+
+        xa = _u64.U64Pair(x_hi, x_lo)
+        thr = _u64.sub_u32_sat(xa, mdx)
+        far = _u64.le(
+            _u64.U64Pair(thr.hi[:, window:], thr.lo[:, window:]),
+            _u64.U64Pair(x_hi[:, :-window], x_lo[:, :-window]),
+        )
+        slot = jnp.arange(window, A, dtype=I32)[None, :]
+        far = far & (slot < n_anchors[:, None])
+        return jnp.any(far, axis=1)
+
+    if hpc:
+        spans = (y_hi & U32(0xFF)).astype(I32)
+        mslot = jnp.arange(M, dtype=I32)[None, :]
+        sum_span = jnp.sum(
+            jnp.where(
+                mslot < n_mini[:, None], anc["mini_span"].astype(I32), 0
+            ),
+            axis=1,
+        )
+    else:
+        spans = None
+        sum_span = None
+    fields = []
+    for scal in (scalars, scalars_wide):
+        f, cnt, sq, sr = _chain_fn(*args, scal, window)
+        fields.append(finalize_from_aux(
+            f, cnt, sq, sr, x_hi, x_lo, y_lo, n_anchors,
+            mini_pos, n_mini, lengths, tlens, mini_ovf, anc_ovf,
+            k, rmq_rescue_size, rmq_rescue_ratio,
+            win_ovf=_win_ovf_for(scal.max_dist_x), spans=spans,
+            sum_span=sum_span,
+        ))
+    # resolve the rescue switch on device: ship one (B, 18) row per read
+    resc = fields[0][:, FIELDS.index("rescue")] != 0
+    return jnp.where(resc[:, None], fields[1], fields[0])

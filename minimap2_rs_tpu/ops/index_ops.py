@@ -126,6 +126,14 @@ class DeviceIndex:
         dm_np, dm_p, dm_S, dm_entry = plan_direct_layout(
             keys, starts, counts, key_bits
         )
+        if dm_S:
+            # index_lookup never touches kv/prefix once dm exists; keep
+            # only sentinel rows on device (the full kv would cost up to
+            # ~1.5x extra HBM on large genomes). n_keys stays the real
+            # count for stats; the keys_hi/starts/... views are only
+            # meaningful when the fallback tables are resident.
+            kv_np = kv_np[:1]
+            prefix_np = prefix_np[:2]
         return DeviceIndex(
             kv=jnp.asarray(kv_np),
             pos=jnp.asarray(pos_np),
@@ -208,11 +216,17 @@ def choose_direct_layout(
 ):
     """Pick one (p, S, entry) layout covering every key slice (one per
     shard; a single slice for the unsharded index). byte_cap bounds ONE
-    table — each device holds exactly one. Returns None when infeasible."""
+    table — each device holds exactly one. Selection is pure min-bytes
+    (gather cost grows with table bytes; the compact 2-word entry wins
+    exactly when it shrinks the table). Returns None when infeasible."""
     sizes = max(max(int(ks.shape[0]) for ks in key_slices), 1)
     best = None  # (bytes, p, S, entry)
     p_lo = max(12, int(np.ceil(np.log2(sizes + 1))) - 2)
-    for p in range(min(p_lo, key_bits), min(_MAX_PREFIX_BITS, key_bits) + 1):
+    p_hi = min(_MAX_PREFIX_BITS, key_bits)
+    # first p where 2-word entries become possible (fp_bits <= 12); the
+    # early break below must not fire before the scan reaches it
+    compact_p = key_bits - 12
+    for p in range(min(p_lo, key_bits), p_hi + 1):
         maxb = 1
         for ks in key_slices:
             if ks.shape[0]:
@@ -227,8 +241,11 @@ def choose_direct_layout(
         nbytes = (1 << p) * S * entry * 4
         if nbytes <= byte_cap and (best is None or nbytes < best[0]):
             best = (nbytes, p, S, entry)
-        if best is not None and p > p_lo + 4:
+        if best is not None and p > p_lo + 4 and (
+            p >= compact_p or compact_p > p_hi
+        ):
             break  # larger p only grows the table once maxb bottoms out
+            # (and the entry 4->2 halving point is already behind us)
     if best is None:
         return None
     return best[1], best[2], best[3]

@@ -117,8 +117,9 @@ def build_anchors_device(
     #   3. forward-fill payloads through each run (log-step carry).
     # Two packed columns carry everything downstream:
     #   d0 = start - cum_prev      (position-table row minus slot base)
-    #   d1 = span << 17 | pos<<1|strand  (pos < 2^16: reads bucket to
-    #                                     <= 65536 bases; span < 256)
+    #   d1 = span << 23 | pos<<1|strand  (pos < 2^22: reads bucket to
+    #        <= 4M bases — guarded below; span < 256, so 255<<23 < 2^31
+    #        keeps d1 a valid non-negative int32)
     from .route import compact_left, spread_right
 
     a_idx = jnp.arange(max_anchors, dtype=I32)[None, :]
@@ -126,7 +127,7 @@ def build_anchors_device(
     has = count > 0
     bc = lambda a: jax.lax.bitcast_convert_type(a, I32)
     d0 = start - cum_prev
-    d1 = (bc(ks.lo & U32(0xFF)) << 17) | bc(ps & U32(0x1FFFF))
+    d1 = (bc(ks.lo & U32(0xFF)) << 23) | bc(ps & U32(0x7FFFFF))
     (c_dest, c_d0, c_d1), c_live = compact_left(
         (cum_prev, d0, d1), has, fills=(I32(0), I32(0), I32(0))
     )
@@ -164,8 +165,8 @@ def build_anchors_device(
     r_hi = prow[..., 0]  # rid
     r_lo = prow[..., 1]  # rpos<<1|rstrand
 
-    ps_m = jax.lax.bitcast_convert_type(g1 & I32(0x1FFFF), U32)
-    span = jax.lax.bitcast_convert_type(g1 >> 17, U32)
+    ps_m = jax.lax.bitcast_convert_type(g1 & I32(0x7FFFFF), U32)
+    span = jax.lax.bitcast_convert_type(g1 >> 23, U32)
     qpos = ps_m >> U32(1)
     qstrand = ps_m & U32(1)
     rpos = r_lo >> U32(1)
@@ -183,8 +184,9 @@ def build_anchors_device(
     x_hi = jnp.where(valid, x_hi, U32(INVALID_XHI))
     x_lo = jnp.where(valid, x_lo, U32(0xFFFFFFFF))
     # pack (span, qpos') into one sort key: qpos' < 2^24 always (reads are
-    # bucketed to <= 65536 bases), so span<<24 | qpos' preserves the
-    # reference's (y_hi, y_lo) lexicographic order with one fewer operand
+    # bucketed to <= 2^22 bases, enforced by Mapper), so span<<24 | qpos'
+    # preserves the reference's (y_hi, y_lo) lexicographic order with one
+    # fewer operand
     y_packed = (y_hi << U32(24)) | y_lo
     y_packed = jnp.where(valid, y_packed, U32(0xFFFFFFFF))
 

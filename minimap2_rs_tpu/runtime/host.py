@@ -63,9 +63,19 @@ def _load():
                 ["make", "-s", "-B", "-C", os.path.dirname(so)],
                 check=True, capture_output=True, timeout=120,
             )
-        except Exception:
+        except Exception as e:
             if not os.path.exists(so):
                 return None
+            # loading a stale library silently could diverge from the
+            # checked-in source (and from the Python parity claim)
+            import warnings
+
+            warnings.warn(
+                f"mm2t_host rebuild failed ({e!r}); using STALE "
+                f"libmm2t_host.so older than mm2t_host.cpp",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     try:
         lib = ctypes.CDLL(so)
     except OSError:
