@@ -35,8 +35,6 @@ from ..oracle import pipeline as opipeline
 from ..oracle.paf import write_paf_many_with_scores
 from ..ops.chain_ops import ChainScalars, chain_dp_batch, chain_scalars_from_params
 from ..ops.index_ops import DeviceIndex
-from ..ops.seeds_ops import build_anchors_device, query_occ_filter, sort_minimizers_by_key
-from ..ops.sketch import compact_minimizers, sketch_positions
 from ..utils.packing import nt4_encode
 
 I32 = jnp.int32
@@ -63,14 +61,7 @@ def _dv_from_fields(fields: np.ndarray, col: dict) -> np.ndarray:
     )
 
 
-def _unpack_codes4(codes4: jnp.ndarray) -> jnp.ndarray:
-    """(B, L//2) uint8 two-nibble packed nt4 codes -> (B, L) int32.
-    Host->device transfers ride a ~115 MB/s relay, so halving the wire
-    bytes is worth the (fused, free) device-side unpack."""
-    B = codes4.shape[0]
-    lo = (codes4 & jnp.uint8(0xF)).astype(jnp.int32)
-    hi = (codes4 >> 4).astype(jnp.int32)
-    return jnp.stack([lo, hi], axis=-1).reshape(B, codes4.shape[1] * 2)
+from .stages import unpack_codes4 as _unpack_codes4  # noqa: E402 (wire format)
 
 
 def _pack_codes4_host(codes: np.ndarray) -> np.ndarray:
@@ -103,24 +94,24 @@ def _fused_map_stage(
     packed: bool = False,
 ):
     """The whole per-batch device pipeline as one XLA program."""
+    from .stages import sketch_to_anchors
+
     if packed:
         codes = _unpack_codes4(codes)
     # seeds_ops packs query pos<<1|strand into 23 bits (span<<23 | ps)
     assert codes.shape[-1] <= 1 << 22, "reads longer than 4M bases unsupported"
-    ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
-    cks, cps, n_mini, mini_ovf = compact_minimizers(ks, ps, emitted, M)
-    sks, sps = sort_minimizers_by_key(cks, cps)
-    keep = query_occ_filter(sks, n_mini, q_occ_max, q_occ_frac)
-    x_hi, x_lo, y_hi, y_lo, n_anchors, anc_ovf = build_anchors_device(
-        dev_idx, sks, sps, keep, lengths, mid_occ, A
+    anc = sketch_to_anchors(
+        dev_idx, codes, lengths, mid_occ,
+        w=w, k=k, hpc=hpc, q_occ_max=q_occ_max, q_occ_frac=q_occ_frac,
+        M=M, A=A,
     )
     if pallas_chain:
         from ..ops.chain_pallas import chain_dp_batch_pallas as _chain_fn
     else:
         _chain_fn = chain_dp_batch
     f, prev = _chain_fn(
-        x_hi, x_lo.astype(I32), y_lo.astype(I32),
-        (y_hi & jnp.uint32(0xFF)).astype(I32), scalars, window,
+        anc["x_hi"], anc["x_lo"].astype(I32), anc["y_lo"].astype(I32),
+        (anc["y_hi"] & jnp.uint32(0xFF)).astype(I32), scalars, window,
     )
     # Pack every output into ONE uint32 buffer: each device->host transfer
     # call pays tens of ms of fixed latency through the host<->TPU relay,
@@ -128,13 +119,14 @@ def _fused_map_stage(
     # The dv estimate only needs minimizer positions (+ spans under HPC;
     # otherwise every span is exactly k, sketch.rs:63).
     bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
-    cols = [x_hi, x_lo, y_hi, y_lo, bc(f), bc(prev), cps]
+    cols = [anc["x_hi"], anc["x_lo"], anc["y_hi"], anc["y_lo"],
+            bc(f), bc(prev), anc["cps"]]
     if hpc:
-        cols.append(cks.lo & jnp.uint32(0xFF))
+        cols.append(anc["mini_span"])
     cols += [
-        bc(n_mini)[:, None], bc(n_anchors)[:, None],
-        mini_ovf.astype(jnp.uint32)[:, None],
-        anc_ovf.astype(jnp.uint32)[:, None],
+        bc(anc["n_mini"])[:, None], bc(anc["n_anchors"])[:, None],
+        anc["mini_ovf"].astype(jnp.uint32)[:, None],
+        anc["anc_ovf"].astype(jnp.uint32)[:, None],
     ]
     return jnp.concatenate(cols, axis=1)
 
@@ -180,77 +172,25 @@ def _fused_map_stage_lite(
     the wide row when the normal row's rescue flag is set.
     Valid when min_cnt >= 2 (the reference backtrack always takes its
     greedy single-chain fallback); HPC spans ride along in y_hi and the
-    sum_span field."""
-    from ..ops.finalize_ops import finalize_from_aux
+    sum_span field. Stage bodies are shared with the mesh paths
+    (models/stages.py, parallel/pipeline.py); the single (B, 18) output
+    row also keeps the D2H payload small (the relay moves ~24 MB/s)."""
+    from .stages import chain_finalize_lite, sketch_to_anchors
 
     if packed:
         codes = _unpack_codes4(codes)
     assert codes.shape[-1] <= 1 << 22, "reads longer than 4M bases unsupported"
-    ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
-    cks, cps, n_mini, mini_ovf = compact_minimizers(ks, ps, emitted, M)
-    sks, sps = sort_minimizers_by_key(cks, cps)
-    keep = query_occ_filter(sks, n_mini, q_occ_max, q_occ_frac)
-    x_hi, x_lo, y_hi, y_lo, n_anchors, anc_ovf = build_anchors_device(
-        dev_idx, sks, sps, keep, lengths, mid_occ, A
+    anc = sketch_to_anchors(
+        dev_idx, codes, lengths, mid_occ,
+        w=w, k=k, hpc=hpc, q_occ_max=q_occ_max, q_occ_frac=q_occ_frac,
+        M=M, A=A,
     )
-    mini_pos = cps >> jnp.uint32(1)  # position-sorted; padding stays max
-    if pallas_chain:
-        from ..ops.chain_pallas import chain_dp_aux_batch_pallas as _chain_fn
-    else:
-        from ..ops.chain_ops import chain_dp_aux_batch as _chain_fn
-    args = (
-        x_hi, x_lo.astype(I32), y_lo.astype(I32),
-        (y_hi & jnp.uint32(0xFF)).astype(I32),
+    return chain_finalize_lite(
+        anc, lengths, scalars, scalars_wide, tlens,
+        rmq_rescue_size, rmq_rescue_ratio,
+        k=k, hpc=hpc, window=window, pallas_chain=pallas_chain,
+        flag_window_ovf=flag_window_ovf,
     )
-    # exact window-truncation detector: with anchors sorted by x, a
-    # predecessor farther than `window` slots can pass the reference's
-    # max_dist_x gate (lchain.rs:75) only if x[i] - x[i-window] <= mdx;
-    # flagged reads re-run with the full max_chain_iter window. Computed
-    # PER BAND with that band's own max_dist_x — the wide row runs at
-    # bw_long (lchain.rs:321-330) where a predecessor beyond the window
-    # cap is far more likely to still be in band.
-    def _win_ovf_for(mdx):
-        if not (flag_window_ovf and A > window):
-            return None
-        from ..ops import u64 as _u64
-
-        xa = _u64.U64Pair(x_hi, x_lo)
-        thr = _u64.sub_u32_sat(xa, mdx)
-        far = _u64.le(
-            _u64.U64Pair(thr.hi[:, window:], thr.lo[:, window:]),
-            _u64.U64Pair(x_hi[:, :-window], x_lo[:, :-window]),
-        )
-        slot = jnp.arange(window, A, dtype=I32)[None, :]
-        far = far & (slot < n_anchors[:, None])
-        return jnp.any(far, axis=1)
-
-    if hpc:
-        spans = (y_hi & jnp.uint32(0xFF)).astype(I32)
-        mslot = jnp.arange(M, dtype=I32)[None, :]
-        sum_span = jnp.sum(
-            jnp.where(mslot < n_mini[:, None], (cks.lo & jnp.uint32(0xFF)).astype(I32), 0),
-            axis=1,
-        )
-    else:
-        spans = None
-        sum_span = None
-    fields = []
-    for scal in (scalars, scalars_wide):
-        f, cnt, sq, sr = _chain_fn(*args, scal, window)
-        fields.append(finalize_from_aux(
-            f, cnt, sq, sr, x_hi, x_lo, y_lo, n_anchors,
-            mini_pos, n_mini, lengths, tlens, mini_ovf, anc_ovf,
-            k, rmq_rescue_size, rmq_rescue_ratio,
-            win_ovf=_win_ovf_for(scal.max_dist_x), spans=spans,
-            sum_span=sum_span,
-        ))
-    # resolve the rescue switch on device: ship one (B, 18) row per read
-    # (D2H bandwidth through the relay is ~24 MB/s, so halving the
-    # payload is worth more than the flag's debuggability)
-    from ..ops.finalize_ops import FIELDS
-
-    resc = fields[0][:, FIELDS.index("rescue")] != 0
-    return jnp.where(resc[:, None], fields[1], fields[0])
 
 
 def _use_pallas_chain() -> bool:
@@ -344,13 +284,13 @@ class Mapper:
     def _t(self, key: str, dt: float):
         self.stats[key] = self.stats.get(key, 0.0) + dt
 
-    @staticmethod
-    def from_oracle_index(idx: OracleIndex, cp: ChainParams, mp: MapParams = MapParams(), **kw) -> "Mapper":
+    @classmethod
+    def from_oracle_index(cls, idx: OracleIndex, cp: ChainParams, mp: MapParams = MapParams(), **kw) -> "Mapper":
         dev = DeviceIndex.from_host(
             idx.keys, idx.starts, idx.counts, idx.positions, key_bits=2 * idx.k
         )
         mid_occ = max(idx.calc_mid_occ(mp.frac_top_repetitive), mp.mid_occ_floor)
-        return Mapper(idx=idx, dev_idx=dev, cp=cp, mp=mp, mid_occ=mid_occ, **kw)
+        return cls(idx=idx, dev_idx=dev, cp=cp, mp=mp, mid_occ=mid_occ, **kw)
 
     # ------------------------------------------------------------------
 

@@ -1,54 +1,55 @@
-"""Distributed mapping over a device mesh (shard_map + XLA collectives).
+"""Distributed mapping over a device mesh (jax.shard_map + XLA collectives).
 
 Two execution modes (SURVEY.md section 2 parallelism table):
 
-1. map_batch_dp — replicated index, reads data-parallel over "dp". No
+1. *_dp — replicated index, reads data-parallel over "dp". No
    communication in the hot path (the rayon par_iter analog,
    /root/reference/src/index.rs:442-452, scaled across chips).
 
-2. map_batch_sharded — index hash-range-sharded over "ix", reads
-   data-parallel over "dp". Within a dp row every ix device holds the
-   same reads and a different index range: each looks up its range and
-   expands partial anchors, an all_to_all routes each read's anchors from
-   all shards to its chaining home, chaining runs on 1/ix of the row's
-   reads per device, and an all_gather reassembles the row. Collectives
-   ride ICI; nothing touches the host between sketch and chain scores.
+2. *_sharded — index hash-range-sharded over "ix", reads data-parallel
+   over "dp". Within a dp row every ix device holds the same reads and a
+   different index range: each looks up its range and expands partial
+   anchors, an all_to_all routes each read's anchors from all shards to
+   its chaining home, chaining runs on 1/ix of the row's reads per
+   device, and an all_gather reassembles the row. Collectives ride ICI;
+   nothing touches the host between sketch and the finalized PAF fields.
+
+The `*_lite` makers run the FULL pipeline — sketch to finalized (B, 18)
+PAF field rows (ops/finalize_ops.FIELDS) — on the mesh; the host only
+formats lines (models/mesh_mapper.py). The plain makers stop at chain
+(f, prev) for the general host-backtrack path.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.chain_ops import ChainScalars, chain_dp_batch
+from ..models.stages import chain_finalize_lite, sketch_to_anchors, unpack_codes4
+from ..ops.chain_ops import chain_dp_batch
 from ..ops.index_ops import DeviceIndex
-from ..ops.seeds_ops import build_anchors_device, query_occ_filter, sort_minimizers_by_key
-from ..ops.sketch import compact_minimizers, sketch_positions
 from .sharded_index import ShardedDeviceIndex
 
 I32 = jnp.int32
 U32 = jnp.uint32
 
+_CORE_KEYS = ("w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A")
 
-def _local_map_core(dev_idx: DeviceIndex, codes, lengths, scalars, mid_occ,
-                    *, w, k, hpc, q_occ_max, q_occ_frac, M, A):
-    """Sketch -> anchors on one device (no chaining)."""
-    ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
-    cks, cps, n_mini, mini_ovf = compact_minimizers(ks, ps, emitted, M)
-    sks, sps = sort_minimizers_by_key(cks, cps)
-    keep = query_occ_filter(sks, n_mini, q_occ_max, q_occ_frac)
-    x_hi, x_lo, y_hi, y_lo, n_anchors, anc_ovf = build_anchors_device(
-        dev_idx, sks, sps, keep, lengths, mid_occ, A
+
+def _shmap(body, mesh, in_specs, out_specs):
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
     )
-    return dict(
-        cks=cks, cps=cps, n_mini=n_mini, mini_ovf=mini_ovf,
-        x_hi=x_hi, x_lo=x_lo, y_hi=y_hi, y_lo=y_lo,
-        n_anchors=n_anchors, anc_ovf=anc_ovf,
-    )
+
+
+def _core(statics: dict) -> dict:
+    return {kk: statics[kk] for kk in _CORE_KEYS}
+
+
+def _codes(statics: dict, codes):
+    return unpack_codes4(codes) if statics.get("packed") else codes
 
 
 def _chain(out, scalars, window):
@@ -56,9 +57,55 @@ def _chain(out, scalars, window):
         out["x_hi"], out["x_lo"].astype(I32), out["y_lo"].astype(I32),
         (out["y_hi"] & U32(0xFF)).astype(I32), scalars, window,
     )
+    out = dict(out)
+    out.pop("mini_span", None)  # None leaf confuses shard_map out_specs
     out.update(f=f, prev=prev)
     return out
 
+
+def _exchange_anchors(anc: dict, n_ix: int) -> dict:
+    """Route each read's partial anchors from all index shards to its
+    chaining home: (B_loc, A) --all_to_all--> (B_loc/n_ix, A*n_ix),
+    then re-sort the concatenated slots (padding x_hi=U32-max goes last,
+    preserving the reference's (x, y) anchor order, seeds.rs:58)."""
+    anc = dict(anc)
+
+    def ex(x):
+        return jax.lax.all_to_all(x, "ix", split_axis=0, concat_axis=1, tiled=True)
+
+    for kk in ("x_hi", "x_lo", "y_hi", "y_lo"):
+        anc[kk] = ex(anc[kk])
+    anc["n_anchors"] = ex(anc["n_anchors"][:, None]).sum(axis=1)
+    anc["anc_ovf"] = ex(anc["anc_ovf"][:, None]).any(axis=1)
+    anc["x_hi"], anc["x_lo"], anc["y_hi"], anc["y_lo"] = jax.lax.sort(
+        (anc["x_hi"], anc["x_lo"], anc["y_hi"], anc["y_lo"]),
+        dimension=-1, num_keys=4,
+    )
+    return anc
+
+
+def _home_slice(anc: dict, lengths, n_ix: int):
+    """After the exchange each ix device chains reads
+    [i*B_loc/n_ix, (i+1)*B_loc/n_ix); slice the index-independent
+    per-read payloads (computed replicated within the dp row) down to
+    that home range."""
+    i = jax.lax.axis_index("ix")
+    Bh = lengths.shape[0] // n_ix
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, i * Bh, Bh, axis=0)
+
+    anc = dict(anc)
+    for kk in ("cps", "n_mini", "mini_ovf"):
+        anc[kk] = sl(anc[kk])
+    if anc.get("mini_span") is not None:
+        anc["mini_span"] = sl(anc["mini_span"])
+    return anc, sl(lengths)
+
+
+# ---------------------------------------------------------------------
+# chain-score makers (general path: host backtracks from f/prev)
+# ---------------------------------------------------------------------
 
 def make_map_batch_dp(mesh: Mesh, statics: dict):
     """Data-parallel mapping step: reads sharded over 'dp', index
@@ -66,55 +113,33 @@ def make_map_batch_dp(mesh: Mesh, statics: dict):
     mid_occ) -> dict of sharded outputs."""
 
     def body(dev_idx, codes, lengths, scalars, mid_occ):
-        out = _local_map_core(dev_idx, codes, lengths, scalars, mid_occ, **{
-            kk: statics[kk] for kk in ("w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A")
-        })
-        return _chain(out, scalars, statics["window"])
+        anc = sketch_to_anchors(
+            dev_idx, _codes(statics, codes), lengths, mid_occ, **_core(statics)
+        )
+        return _chain(anc, scalars, statics["window"])
 
-    fn = shard_map(
-        body,
-        mesh=mesh,
+    fn = _shmap(
+        body, mesh,
         in_specs=(P(), P("dp", None), P("dp"), P(), P()),
         out_specs=P("dp"),
-        check_rep=False,
     )
     return jax.jit(fn)
 
 
 def make_map_batch_sharded(mesh: Mesh, statics: dict):
-    """Sharded-index mapping step over mesh axes ('dp', 'ix').
-
-    codes are sharded over 'dp' and replicated over 'ix'; the index over
-    'ix'. The per-read batch within a dp row must be divisible by the ix
-    axis size."""
+    """Sharded-index mapping step over mesh axes ('dp', 'ix'). codes are
+    sharded over 'dp' and replicated over 'ix'; the index over 'ix'. The
+    per-dp-row batch must be divisible by the ix axis size."""
     n_ix = mesh.shape["ix"]
 
     def body(sidx: ShardedDeviceIndex, codes, lengths, scalars, mid_occ):
-        local_idx = sidx.local()
-        out = _local_map_core(local_idx, codes, lengths, scalars, mid_occ, **{
-            kk: statics[kk] for kk in ("w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A")
-        })
+        anc = sketch_to_anchors(
+            sidx.local(), _codes(statics, codes), lengths, mid_occ, **_core(statics)
+        )
         if n_ix > 1:
-            # route each read's partial anchors to its chaining home:
-            # (B_loc, A_shard) --all_to_all--> (B_loc/n_ix, A_shard*n_ix)
-            def exchange(x):
-                return jax.lax.all_to_all(x, "ix", split_axis=0, concat_axis=1, tiled=True)
-
-            for kk in ("x_hi", "x_lo", "y_hi", "y_lo"):
-                out[kk] = exchange(out[kk])
-            n_anc = jax.lax.all_to_all(
-                out["n_anchors"][:, None], "ix", split_axis=0, concat_axis=1, tiled=True
-            )
-            out["n_anchors"] = n_anc.sum(axis=1)
-            out["anc_ovf"] = jax.lax.all_to_all(
-                out["anc_ovf"][:, None], "ix", split_axis=0, concat_axis=1, tiled=True
-            ).any(axis=1)
-            # re-sort the concatenated shard slots (padding goes last)
-            out["x_hi"], out["x_lo"], out["y_hi"], out["y_lo"] = jax.lax.sort(
-                (out["x_hi"], out["x_lo"], out["y_hi"], out["y_lo"]),
-                dimension=-1, num_keys=4,
-            )
-        out = _chain(out, scalars, statics["window"])
+            anc = _exchange_anchors(anc, n_ix)
+            anc, _ = _home_slice(anc, lengths, n_ix)
+        out = _chain(anc, scalars, statics["window"])
         if n_ix > 1:
             # reassemble the dp row: every ix device contributes its
             # 1/n_ix of the reads
@@ -124,20 +149,88 @@ def make_map_batch_sharded(mesh: Mesh, statics: dict):
             }
         return out
 
-    fn = shard_map(
-        body,
-        mesh=mesh,
+    fn = _shmap(
+        body, mesh,
         in_specs=(P("ix"), P("dp", None), P("dp"), P(), P()),
         out_specs=P("dp"),
-        check_rep=False,
     )
     return jax.jit(fn)
 
 
+# ---------------------------------------------------------------------
+# lite makers (full pipeline on the mesh: PAF field rows out)
+# ---------------------------------------------------------------------
+
+def _lite_kwargs(statics: dict) -> dict:
+    return dict(
+        k=statics["k"], hpc=statics["hpc"], window=statics["window"],
+        pallas_chain=statics.get("pallas_chain", False),
+        flag_window_ovf=statics.get("flag_window_ovf", False),
+    )
+
+
+def make_map_batch_dp_lite(mesh: Mesh, statics: dict):
+    """Data-parallel FULL pipeline: (B, 18) finalized PAF field rows,
+    reads sharded over 'dp', index replicated."""
+
+    def body(dev_idx, codes, lengths, scalars, scalars_wide, mid_occ,
+             tlens, rs, rr):
+        anc = sketch_to_anchors(
+            dev_idx, _codes(statics, codes), lengths, mid_occ, **_core(statics)
+        )
+        return chain_finalize_lite(
+            anc, lengths, scalars, scalars_wide, tlens, rs, rr,
+            **_lite_kwargs(statics),
+        )
+
+    fn = _shmap(
+        body, mesh,
+        in_specs=(P(), P("dp", None), P("dp"), P(), P(), P(), P(), P(), P()),
+        out_specs=P("dp"),
+    )
+    return jax.jit(fn)
+
+
+def make_map_batch_sharded_lite(mesh: Mesh, statics: dict):
+    """Hash-range-sharded FULL pipeline: lookups on each shard, anchor
+    all_to_all, chaining+finalize on the home device, all_gather of the
+    (B, 18) field rows. statics['window'] applies to the post-exchange
+    slot count (n_ix * A)."""
+    n_ix = mesh.shape["ix"]
+
+    def body(sidx: ShardedDeviceIndex, codes, lengths, scalars,
+             scalars_wide, mid_occ, tlens, rs, rr):
+        anc = sketch_to_anchors(
+            sidx.local(), _codes(statics, codes), lengths, mid_occ, **_core(statics)
+        )
+        lengths_h = lengths
+        if n_ix > 1:
+            anc = _exchange_anchors(anc, n_ix)
+            anc, lengths_h = _home_slice(anc, lengths, n_ix)
+        fields = chain_finalize_lite(
+            anc, lengths_h, scalars, scalars_wide, tlens, rs, rr,
+            **_lite_kwargs(statics),
+        )
+        if n_ix > 1:
+            fields = jax.lax.all_gather(fields, "ix", axis=0, tiled=True)
+        return fields
+
+    fn = _shmap(
+        body, mesh,
+        in_specs=(P("ix"), P("dp", None), P("dp"), P(), P(), P(), P(), P(), P()),
+        out_specs=P("dp"),
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------
+# collective index statistics (index.rs:111-141 analogs)
+# ---------------------------------------------------------------------
+
 def index_stats_psum(mesh: Mesh, sidx: ShardedDeviceIndex):
     """Global (n_keys, n_positions) via psum over the index shards — the
-    collectives analog of the reference's stats/mid-occ reductions
-    (index.rs:111-141)."""
+    collectives analog of the reference's stats reduction
+    (index.rs:111-122)."""
 
     def body(sidx):
         local = sidx.local()
@@ -147,8 +240,42 @@ def index_stats_psum(mesh: Mesh, sidx: ShardedDeviceIndex):
         n_pos = jax.lax.psum(n_pos, "ix")
         return n_keys[None], n_pos[None]
 
-    fn = shard_map(
-        body, mesh=mesh, in_specs=(P("ix"),), out_specs=P("ix"), check_rep=False
-    )
+    fn = _shmap(body, mesh, in_specs=(P("ix"),), out_specs=P("ix"))
     nk, npos = jax.jit(fn)(sidx)
     return int(nk[0]), int(npos[0])
+
+
+def calc_mid_occ_psum(mesh: Mesh, sidx: ShardedDeviceIndex, frac: float) -> int:
+    """The repetitive-seed cutoff (occurrence-count quantile + 1,
+    index.rs:124-141) as a collective: a 31-step value-space binary
+    search where each step psums the global rank of the probe — no
+    shard ever ships its counts. Matches OracleIndex.calc_mid_occ."""
+
+    def body(sidx):
+        local = sidx.local()
+        c = local.counts  # padded rows carry count 0; real keys are >= 1
+        valid = c > 0
+        n = jax.lax.psum(jnp.sum(valid).astype(I32), "ix")
+        # rank of the quantile element in the globally sorted counts
+        idx = jnp.minimum(
+            ((1.0 - jnp.float32(frac)) * n.astype(jnp.float32)).astype(I32),
+            n - 1,
+        )
+        target = idx + 1  # need #(counts <= v) >= target
+
+        def step(_, lohi):
+            lo, hi = lohi
+            mid = lo + ((hi - lo) >> 1)  # (lo+hi)>>1 overflows int32
+            le = jnp.sum(valid & (c <= mid)).astype(I32)
+            rank = jax.lax.psum(le, "ix")
+            ok = rank >= target
+            return jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(
+            0, 31, step, (jnp.int32(1), jnp.int32(2**31 - 1))
+        )
+        out = jnp.where(n > 0, hi + 1, jnp.int32(2**31 - 1))
+        return out[None]
+
+    fn = _shmap(body, mesh, in_specs=(P("ix"),), out_specs=P("ix"))
+    return int(jax.jit(fn)(sidx)[0])
