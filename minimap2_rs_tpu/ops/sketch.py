@@ -178,6 +178,13 @@ def sketch_positions(
     rows that are interior chunks of a longer sequence (the chunked
     index-build path, ops/index_build.py).
     """
+    # Even k admits strand-symmetric k-mers, which pause the reference
+    # scan's l counter (sketch.rs:67-69); this characterization does not
+    # model the pause (see oracle/sketch.py docstring). All production
+    # callers route even k to the exact host scan (models/index_builder.py,
+    # models/mapper.py); refuse it here so a future caller cannot silently
+    # diverge.
+    assert k % 2 == 1, "sketch_positions is exact for odd k only; even k must use the exact scan"
     B, L = codes.shape
     codes = codes.astype(I32)
     is_base = codes < 4

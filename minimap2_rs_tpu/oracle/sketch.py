@@ -181,9 +181,26 @@ def kmer_info(codes: np.ndarray, w: int, k: int, rid: int, is_hpc: bool):
     n = codes.shape[0]
     mask = np.uint64((1 << (2 * k)) - 1)
     is_base = codes < 4
-    c = np.where(is_base, codes, 0).astype(np.uint64)
     idx = np.arange(n, dtype=np.int64)
     last_bad = np.maximum.accumulate(np.where(~is_base, idx, np.int64(-1)))
+
+    # The reference never touches the k-mer registers at an N position
+    # (sketch.rs:76-78 resets l/tq/span only), so the register at position
+    # i holds the last k *ACGT* bases at <= i with Ns skipped — including
+    # stale pre-reset bases during the warm-up after an N. That stale
+    # content decides the strand-symmetry test (sketch.rs:67) which gates
+    # the l counter, so for even k (where symmetric k-mers exist) it is
+    # parity-relevant: replicate it by computing the rolling k-mers over
+    # the N-compacted sequence and scattering back. For odd k symmetric
+    # registers are impossible (a self-reverse-complement word needs a
+    # middle base equal to its own complement) and register values at
+    # valid positions (l >= k, fully in-run) are identical under both
+    # semantics, so the cheaper N-as-A substitution is exact there.
+    if k % 2 == 0:
+        pos_of = np.nonzero(is_base)[0]
+    else:
+        pos_of = idx
+    c = np.where(is_base, codes, 0).astype(np.uint64)[pos_of]
 
     # Rolling k-mers via log-step span doubling:
     #   fwd_s[i] = last s bases ending at i (newest base in the low bits)
@@ -191,22 +208,31 @@ def kmer_info(codes: np.ndarray, w: int, k: int, rid: int, is_hpc: bool):
     # Combination rules:
     #   fwd_{s+t}[i] = (fwd_s[i-t] << 2t) | (fwd_s[i] & (4^t - 1))
     #   rev_{s+t}[i] = ((rev_s[i] >> 2(s-t)) << 2s) | rev_s[i-t]
-    fwd = c.copy()
-    rev = (np.uint64(3) ^ c)
+    fwd_c = c.copy()
+    rev_c = (np.uint64(3) ^ c)
     s = 1
     with np.errstate(over="ignore"):
         while s < k:
             t = min(s, k - s)
             tmask = np.uint64((1 << (2 * t)) - 1)
-            fwd_prev = np.zeros_like(fwd)
-            rev_prev = np.zeros_like(rev)
-            fwd_prev[t:] = fwd[:-t]
-            rev_prev[t:] = rev[:-t]
-            fwd = (fwd_prev << np.uint64(2 * t)) | (fwd & tmask)
-            rev = ((rev >> np.uint64(2 * (s - t))) << np.uint64(2 * s)) | rev_prev
+            fwd_prev = np.zeros_like(fwd_c)
+            rev_prev = np.zeros_like(rev_c)
+            fwd_prev[t:] = fwd_c[:-t]
+            rev_prev[t:] = rev_c[:-t]
+            fwd_c = (fwd_prev << np.uint64(2 * t)) | (fwd_c & tmask)
+            rev_c = ((rev_c >> np.uint64(2 * (s - t))) << np.uint64(2 * s)) | rev_prev
             s += t
-    fwd &= mask
-    rev &= mask
+    if k % 2 == 0:
+        fwd = np.zeros(n, dtype=np.uint64)
+        rev = np.zeros(n, dtype=np.uint64)
+        fwd[pos_of] = fwd_c & mask
+        rev[pos_of] = rev_c & mask
+        # N positions never produce records; give them distinct fwd/rev
+        # so the sym mask below stays false there.
+        rev[~is_base] = np.uint64(1)
+    else:
+        fwd = fwd_c & mask
+        rev = rev_c & mask
 
     sym = fwd == rev
     z = (fwd > rev).astype(np.uint64)
@@ -274,6 +300,19 @@ def sketch_sequence_fast(
     if n == 0:
         return np.zeros((0, 2), dtype=np.uint64)
     assert 0 < w < 256 and 0 < k <= 28
+
+    if k % 2 == 0:
+        # Even k admits strand-symmetric k-mers, which pause the scan's l
+        # counter (sketch.rs:67-69): window-completion steps are then no
+        # longer unique per run, and the completion/tie rules below no
+        # longer characterize the scan exactly. Delegate to the exact scan
+        # and normalize to the fast path's contract (position-sorted set).
+        recs = sketch_sequence(seq, w, k, rid=rid, is_hpc=is_hpc)
+        if not recs:
+            return np.zeros((0, 2), dtype=np.uint64)
+        arr = np.unique(np.asarray(recs, dtype=np.uint64), axis=0)
+        pos = (arr[:, 1] >> np.uint64(1)) & np.uint64(0x7FFFFFFF)
+        return arr[np.argsort(pos, kind="stable")]
 
     ks, rps, l_eff = kmer_info(codes, w, k, rid, is_hpc)
     wmin = window_min(ks, w)

@@ -97,3 +97,32 @@ def test_fast_matches_exact_long_read():
     fast = set(map(tuple, sketch_sequence_fast(seq, 10, 15).tolist()))
     assert exact == fast
     assert len(exact) > 1000  # sane density: ~2/(w+1) per base
+
+@pytest.mark.parametrize("hpc", [False, True])
+def test_fast_matches_exact_even_k(hpc):
+    """Even k admits strand-symmetric k-mers (sketch.rs:67): the l counter
+    pauses, so the fast path delegates to the exact scan. N-rich input
+    exercises the cross-reset register carry-over (VERDICT r1 item 7)."""
+    rng = np.random.default_rng(4242 + int(hpc))
+    for _ in range(120):
+        n = int(rng.integers(10, 400))
+        w = int(rng.integers(1, 16))
+        k = int(rng.choice([2, 4, 6, 8, 10, 12, 14, 16, 20]))
+        seq = bytes(
+            rng.choice(list(b"ACGTN"), size=n, p=[0.22, 0.22, 0.22, 0.22, 0.12]).astype(np.uint8)
+        )
+        exact = set(sketch_sequence(seq, w, k, is_hpc=hpc))
+        fast = set(map(tuple, sketch_sequence_fast(seq, w, k, is_hpc=hpc).tolist()))
+        assert exact == fast, (n, w, k, seq)
+
+
+def test_fast_even_k_positions_sorted():
+    """The fast path's contract is a position-sorted set; the even-k
+    delegation must normalize the scan's emission order."""
+    rng = np.random.default_rng(9)
+    seq = bytes(rng.choice(list(b"ACGTN"), size=3000, p=[0.24, 0.24, 0.24, 0.24, 0.04]).astype(np.uint8))
+    out = sketch_sequence_fast(seq, 6, 14, rid=3)
+    assert out.shape[0] > 50
+    pos = (out[:, 1].astype(np.uint64) >> np.uint64(1)) & np.uint64(0x7FFFFFFF)
+    assert np.all(np.diff(pos.astype(np.int64)) > 0)
+    assert np.all(out[:, 1] >> np.uint64(32) == 3)
