@@ -72,7 +72,7 @@ def _pack_codes4_host(codes: np.ndarray) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A", "window",
-        "pallas_chain", "packed",
+        "pallas_chain", "packed", "max_chain_skip",
     ),
 )
 def _fused_map_stage(
@@ -92,8 +92,13 @@ def _fused_map_stage(
     window: int,
     pallas_chain: bool = False,
     packed: bool = False,
+    max_chain_skip: int | None = None,
 ):
-    """The whole per-batch device pipeline as one XLA program."""
+    """The whole per-batch device pipeline as one XLA program.
+
+    max_chain_skip replicates the reference's order-dependent pruning
+    exactly (lchain.rs:79-88; scan kernel only — it forces
+    pallas_chain=False); default None scores the window exactly."""
     from .stages import sketch_to_anchors
 
     if packed:
@@ -105,14 +110,19 @@ def _fused_map_stage(
         w=w, k=k, hpc=hpc, q_occ_max=q_occ_max, q_occ_frac=q_occ_frac,
         M=M, A=A,
     )
-    if pallas_chain:
+    if pallas_chain and max_chain_skip is None:
         from ..ops.chain_pallas import chain_dp_batch_pallas as _chain_fn
+
+        f, prev = _chain_fn(
+            anc["x_hi"], anc["x_lo"].astype(I32), anc["y_lo"].astype(I32),
+            (anc["y_hi"] & jnp.uint32(0xFF)).astype(I32), scalars, window,
+        )
     else:
-        _chain_fn = chain_dp_batch
-    f, prev = _chain_fn(
-        anc["x_hi"], anc["x_lo"].astype(I32), anc["y_lo"].astype(I32),
-        (anc["y_hi"] & jnp.uint32(0xFF)).astype(I32), scalars, window,
-    )
+        f, prev = chain_dp_batch(
+            anc["x_hi"], anc["x_lo"].astype(I32), anc["y_lo"].astype(I32),
+            (anc["y_hi"] & jnp.uint32(0xFF)).astype(I32), scalars, window,
+            max_chain_skip=max_chain_skip,
+        )
     # Pack every output into ONE uint32 buffer: each device->host transfer
     # call pays tens of ms of fixed latency through the host<->TPU relay,
     # so a single large transfer beats a dozen small ones by ~5x.
@@ -135,7 +145,7 @@ def _fused_map_stage(
     jax.jit,
     static_argnames=(
         "w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A", "window",
-        "pallas_chain", "flag_window_ovf", "packed",
+        "pallas_chain", "flag_window_ovf", "packed", "max_chain_skip",
     ),
 )
 def _fused_map_stage_lite(
@@ -160,6 +170,7 @@ def _fused_map_stage_lite(
     pallas_chain: bool = False,
     flag_window_ovf: bool = False,
     packed: bool = False,
+    max_chain_skip: int | None = None,
 ):
     """Default-parameter fast path: the whole pipeline INCLUDING chain
     finalization on device; output is (B, 18) int32 PAF fields
@@ -189,8 +200,19 @@ def _fused_map_stage_lite(
         anc, lengths, scalars, scalars_wide, tlens,
         rmq_rescue_size, rmq_rescue_ratio,
         k=k, hpc=hpc, window=window, pallas_chain=pallas_chain,
-        flag_window_ovf=flag_window_ovf,
+        flag_window_ovf=flag_window_ovf, max_chain_skip=max_chain_skip,
     )
+
+
+def _chain_skip_cfg(cp) -> int | None:
+    """MM2T_SKIP_PRUNE=1 makes the device DP replicate the reference's
+    order-dependent max_chain_skip pruning bit-for-bit (lchain.rs:79-88;
+    ~2x the per-step cost, scan kernel only). The default (None) scores
+    the predecessor window exactly — a superset that can only find equal
+    or better chains; drift is bounded in tests/test_chain_skip_prune.py."""
+    import os
+
+    return cp.max_chain_skip if os.environ.get("MM2T_SKIP_PRUNE") else None
 
 
 def _use_pallas_chain() -> bool:
@@ -204,19 +226,27 @@ def _use_pallas_chain() -> bool:
     return jax.default_backend() != "cpu"
 
 
-@functools.partial(jax.jit, static_argnames=("window", "pallas_chain"))
+@functools.partial(
+    jax.jit, static_argnames=("window", "pallas_chain", "max_chain_skip")
+)
 def _packed_chain_stage(x_hi, x_lo, y_hi, y_lo, scalars, *, window: int,
-                        pallas_chain: bool = False):
+                        pallas_chain: bool = False,
+                        max_chain_skip: int | None = None):
     """Chain DP alone (the rescue re-run, lchain.rs:321-330), packed into
     one transfer buffer [f | prev]."""
-    if pallas_chain:
+    if pallas_chain and max_chain_skip is None:
         from ..ops.chain_pallas import chain_dp_batch_pallas as _chain_fn
+
+        f, prev = _chain_fn(
+            x_hi, x_lo.astype(I32), y_lo.astype(I32),
+            (y_hi & jnp.uint32(0xFF)).astype(I32), scalars, window,
+        )
     else:
-        _chain_fn = chain_dp_batch
-    f, prev = _chain_fn(
-        x_hi, x_lo.astype(I32), y_lo.astype(I32),
-        (y_hi & jnp.uint32(0xFF)).astype(I32), scalars, window,
-    )
+        f, prev = chain_dp_batch(
+            x_hi, x_lo.astype(I32), y_lo.astype(I32),
+            (y_hi & jnp.uint32(0xFF)).astype(I32), scalars, window,
+            max_chain_skip=max_chain_skip,
+        )
     bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
     return jnp.concatenate([bc(f), bc(prev)], axis=1)
 
@@ -306,6 +336,7 @@ class Mapper:
             q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
             M=M, A=A, window=window,
             pallas_chain=_use_pallas_chain(), packed=True,
+            max_chain_skip=_chain_skip_cfg(self.cp),
         )
 
     def _lite_eligible(self) -> bool:
@@ -341,7 +372,8 @@ class Mapper:
         # expected N+1 buffers"); ahead-of-time executables own their
         # constants and marshal correctly.
         flag_wovf = window < min(self.cp.max_chain_iter, A)
-        key = (codes.shape, M, A, window, flag_wovf, _use_pallas_chain())
+        mcs = _chain_skip_cfg(self.cp)
+        key = (codes.shape, M, A, window, flag_wovf, _use_pallas_chain(), mcs)
         args = (
             self.dev_idx, codes, lengths, scalars, self._scalars_wide,
             jnp.int32(self.mid_occ),
@@ -355,8 +387,8 @@ class Mapper:
                 *args,
                 w=self.idx.w, k=self.idx.k, hpc=False,
                 q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
-                M=M, A=A, window=window, pallas_chain=key[-1],
-                flag_window_ovf=flag_wovf, packed=True,
+                M=M, A=A, window=window, pallas_chain=key[-2],
+                flag_window_ovf=flag_wovf, packed=True, max_chain_skip=mcs,
             )
             self._lite_exec[key] = lowered.compile()
         return self._lite_exec[key](*args)
@@ -453,6 +485,7 @@ class Mapper:
         return _packed_chain_stage(
             x_hi, x_lo, y_hi, y_lo, scal2, window=window,
             pallas_chain=_use_pallas_chain(),
+            max_chain_skip=_chain_skip_cfg(self.cp),
         )
 
     # ------------------------------------------------------------------

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.chain_ops import chain_scalars_from_params
-from .mapper import Mapper, _use_pallas_chain
+from .mapper import Mapper, _chain_skip_cfg, _use_pallas_chain
 
 
 @dataclasses.dataclass
@@ -89,7 +89,11 @@ class MeshMapper(Mapper):
         window = min(window, A_total)
         flag_wovf = window < min(self.cp.max_chain_iter, A_total)
         pallas = _use_pallas_chain()
-        key = (codes.shape, M, A, window, flag_wovf, pallas, self.index_sharded)
+        mcs = _chain_skip_cfg(self.cp)
+        key = (
+            codes.shape, M, A, window, flag_wovf, pallas,
+            self.index_sharded, mcs,
+        )
         idx_arg = self._sharded_index() if self.index_sharded else self.dev_idx
         args = (
             idx_arg, codes, lengths, scalars, self._scalars_wide,
@@ -103,6 +107,7 @@ class MeshMapper(Mapper):
                 q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
                 M=M, A=A, window=window, pallas_chain=pallas,
                 flag_window_ovf=flag_wovf, packed=True,
+                max_chain_skip=mcs,
             )
             maker = (
                 make_map_batch_sharded_lite if self.index_sharded

@@ -81,6 +81,7 @@ def chain_finalize_lite(
     k: int, hpc: bool, window: int,
     pallas_chain: bool = False,
     flag_window_ovf: bool = False,
+    max_chain_skip: int | None = None,
 ) -> jnp.ndarray:
     """Dual-band chain DP + on-device finalization; returns the (B, 18)
     int32 PAF field rows (ops/finalize_ops.FIELDS), already switched to
@@ -92,10 +93,15 @@ def chain_finalize_lite(
     the window cap is far more likely to still be in band."""
     from ..ops.finalize_ops import FIELDS, finalize_from_aux
 
-    if pallas_chain:
+    if pallas_chain and max_chain_skip is None:
         from ..ops.chain_pallas import chain_dp_aux_batch_pallas as _chain_fn
     else:
         from ..ops.chain_ops import chain_dp_aux_batch as _chain_fn
+        import functools
+
+        # max_chain_skip=None is the exact window; an int replicates the
+        # reference's pruning (lchain.rs:79-88) in the scan kernel
+        _chain_fn = functools.partial(_chain_fn, max_chain_skip=max_chain_skip)
 
     x_hi, x_lo, y_hi, y_lo = anc["x_hi"], anc["x_lo"], anc["y_hi"], anc["y_lo"]
     n_anchors, anc_ovf = anc["n_anchors"], anc["anc_ovf"]
