@@ -126,8 +126,30 @@ def _load():
             i32p, u8p, i64p, u8p, i64p, i32p,
             ctypes.c_int32, i32p, u8p, ctypes.c_int64, i64p,
         ]
+    if hasattr(lib, "mm2t_mmi_selfcheck"):
+        lib.mm2t_mmi_selfcheck.restype = ctypes.c_int64
+        lib.mm2t_mmi_selfcheck.argtypes = [u8p, ctypes.c_int64]
     _LIB = lib
     return _LIB
+
+
+def native_mmi_selfcheck(path_or_bytes) -> int | None:
+    """Independently parse an MMI\\x02 file (a C++ transcription of
+    index.rs:361-424, separate from the Python serializer) and verify its
+    hash table equals the minimizer set re-sketched from the embedded
+    packed sequences by the independent C++ exact scan. Returns 0 on
+    success, a negative stage code on failure (see mm2t_host.cpp), or
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mm2t_mmi_selfcheck"):
+        return None
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return int(lib.mm2t_mmi_selfcheck(arr, arr.shape[0]))
 
 
 def native_postprocess(

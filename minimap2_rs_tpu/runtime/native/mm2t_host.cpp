@@ -753,4 +753,134 @@ int64_t mm2t_format_lite(
   return pos;
 }
 
+// ---------------------------------------------------------------------
+// independent MMI\x02 cross-check (layout transcribed from
+// /root/reference/src/index.rs:361-424, the loader; writer 233-307).
+//
+// Parses an .mmi byte stream with a SEPARATE transcription of the
+// format (independent of the Python writer in oracle/index.py), then
+// re-sketches the embedded 4-bit packed sequences with the independent
+// exact scan above and verifies the hash-table's (minimizer, position)
+// set equals the sketch-derived set. A transcription error in either
+// the Python serializer or the Python sketch oracle fails this check
+// unless the same error was made twice in two languages.
+// ---------------------------------------------------------------------
+
+static const char CODE2ASCII[5] = {'A', 'C', 'G', 'T', 'N'};
+
+// 0 = ok; negative = which stage failed:
+//  -1 bad magic / truncated header   -2 invalid header fields
+//  -3 sequence section truncated     -4 bucket section malformed
+//  -5 packed-seq tail size mismatch  -6 minimizer-set size mismatch
+//  -7 minimizer-set content mismatch -8 key exceeds the 2k-bit range
+int64_t mm2t_mmi_selfcheck(const uint8_t* data, int64_t len) {
+  int64_t off = 0;
+  auto need = [&](int64_t nb) { return off + nb <= len; };
+  if (!need(4) || memcmp(data, "MMI\x02", 4) != 0) return -1;
+  off = 4;
+  if (!need(20)) return -1;
+  uint32_t hdr[5];
+  memcpy(hdr, data + off, 20);
+  off += 20;
+  const uint32_t w = hdr[0], k = hdr[1], b = hdr[2], n_seq = hdr[3],
+                 flag = hdr[4];
+  if (w == 0 || w >= 256 || k == 0 || k > 28 || b > 31) return -2;
+  std::vector<uint64_t> seq_off(n_seq + 1, 0);
+  for (uint32_t s = 0; s < n_seq; ++s) {
+    if (!need(1)) return -3;
+    uint8_t nl = data[off++];
+    if (!need((int64_t)nl + 4)) return -3;
+    off += nl;
+    uint32_t ln;
+    memcpy(&ln, data + off, 4);
+    off += 4;
+    seq_off[s + 1] = seq_off[s] + ln;
+  }
+  const uint64_t sum_len = seq_off[n_seq];
+
+  std::vector<std::pair<uint64_t, uint64_t>> from_table;
+  const uint64_t nb = 1ULL << b;
+  for (uint64_t bi = 0; bi < nb; ++bi) {
+    if (!need(4)) return -4;
+    uint32_t n_p;
+    memcpy(&n_p, data + off, 4);
+    off += 4;
+    if (!need((int64_t)n_p * 8)) return -4;
+    const uint8_t* pbytes = data + off;
+    off += (int64_t)n_p * 8;
+    if (!need(4)) return -4;
+    uint32_t size;
+    memcpy(&size, data + off, 4);
+    off += 4;
+    if (!need((int64_t)size * 16)) return -4;
+    for (uint32_t e = 0; e < size; ++e) {
+      uint64_t key, val;
+      memcpy(&key, data + off, 8);
+      memcpy(&val, data + off + 8, 8);
+      off += 16;
+      const uint64_t minier = ((key >> 1) << b) | bi;
+      if (2 * (uint64_t)k < 64 && (minier >> (2 * k)) != 0) return -8;
+      if (key & 1) {  // singleton: value IS the packed position
+        from_table.emplace_back(minier, val);
+      } else {  // multi: value = offset<<32 | count into p
+        const uint64_t cnt = val & 0xffffffffULL, p_off = val >> 32;
+        if (cnt < 2 || p_off + cnt > n_p) return -4;
+        for (uint64_t t = 0; t < cnt; ++t) {
+          uint64_t pos;
+          memcpy(&pos, pbytes + 8 * (p_off + t), 8);
+          from_table.emplace_back(minier, pos);
+        }
+      }
+    }
+  }
+
+  const int64_t words = (int64_t)((sum_len + 7) / 8);
+  if (!need(words * 4)) return -5;
+  const uint8_t* sb = data + off;
+  off += words * 4;
+  if (off != len) return -5;
+
+  std::vector<std::pair<uint64_t, uint64_t>> from_sketch;
+  std::vector<uint8_t> ascii;
+  std::vector<uint64_t> recs;
+  for (uint32_t s = 0; s < n_seq; ++s) {
+    const uint64_t o0 = seq_off[s];
+    const int64_t ln = (int64_t)(seq_off[s + 1] - o0);
+    if (ln == 0) continue;
+    ascii.resize(ln);
+    for (int64_t i = 0; i < ln; ++i) {
+      const uint64_t go = o0 + (uint64_t)i;
+      uint32_t word;
+      memcpy(&word, sb + 4 * (go >> 3), 4);
+      const uint32_t code = (word >> ((go & 7) * 4)) & 0xF;
+      ascii[i] = CODE2ASCII[code > 4 ? 4 : code];
+    }
+    recs.resize(2 * (size_t)ln + 16);
+    int64_t nr = mm2t_sketch(ascii.data(), ln, (int32_t)w, (int32_t)k,
+                             (uint32_t)s, (int32_t)(flag & 1), recs.data(),
+                             (int64_t)(recs.size() / 2));
+    if (nr < 0) return -2;
+    if (nr > (int64_t)(recs.size() / 2)) {
+      recs.resize(2 * (size_t)nr);
+      nr = mm2t_sketch(ascii.data(), ln, (int32_t)w, (int32_t)k,
+                       (uint32_t)s, (int32_t)(flag & 1), recs.data(), nr);
+    }
+    for (int64_t r = 0; r < nr; ++r)
+      from_sketch.emplace_back(recs[2 * r] >> 8, recs[2 * r + 1]);
+  }
+
+  // set comparison (the exact scan may emit tied records twice; the
+  // index stores each (key, position) once)
+  auto dedup = [](std::vector<std::pair<uint64_t, uint64_t>>& v) {
+    std::sort(v.begin(), v.end());
+    v.erase(std::unique(v.begin(), v.end()), v.end());
+  };
+  dedup(from_table);
+  dedup(from_sketch);
+  if (from_table.size() != from_sketch.size()) return -6;
+  if (!std::equal(from_table.begin(), from_table.end(), from_sketch.begin()))
+    return -7;
+  return 0;
+}
+
 }  // extern "C"
