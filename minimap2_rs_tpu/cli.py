@@ -56,12 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("ref_fasta")
     p.add_argument("qry_fasta")
     _add_wk(p)
+    p.add_argument("--engine", choices=["auto", "device", "host"], default="auto")
 
     p = sub.add_parser("chain", help="debug: best chain endpoints")
     p.add_argument("ref_fasta")
     p.add_argument("qry_fasta")
     _add_wk(p)
     p.add_argument("-r", dest="bw", type=int, default=5000)
+    p.add_argument("--engine", choices=["auto", "device", "host"], default="auto")
 
     p = sub.add_parser("align", help="map reads, PAF output")
     p.add_argument("ref_fasta")
@@ -83,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stats", action="store_true", help="print a per-stage timing breakdown to stderr")
     p.add_argument("--trace-dir", default=None, help="write a jax.profiler trace here")
     p.add_argument("--batch-size", type=int, default=4096, help="max reads per device program invocation")
+    p.add_argument("--mesh", type=int, default=0, metavar="DP",
+                   help="map over a DP-way device mesh (0 = single device; "
+                        "requires --engine device and DP*SHARDS devices)")
+    p.add_argument("--index-shards", type=int, default=1, metavar="IX",
+                   help="hash-range-shard the index over IX mesh devices")
     return ap
 
 
@@ -119,10 +126,8 @@ def main(argv: list[str] | None = None) -> int:
         flag = 1 if args.hpc else 0
         idx = load_index_auto(args.ref_fasta, args.w, args.k, 14, flag)
         _qname, q = read_fasta_first(args.qry_fasta)
-        mv = collect_query_minimizers(q, idx.w, idx.k)
-        mv = filter_query_minimizers(mv, 10, 0.01)
         mid_occ = max(idx.calc_mid_occ(2e-4), 10)
-        anchors = build_anchors(idx, mv, len(q), mid_occ)
+        anchors = _anchors_for(idx, q, mid_occ, args.engine)
         print(f"anchors: {anchors.shape[0]}")
         for x, y in anchors[:10]:
             print(f"x=0x{int(x):016x} y=0x{int(y):016x}")
@@ -132,12 +137,14 @@ def main(argv: list[str] | None = None) -> int:
         flag = 1 if args.hpc else 0
         idx = load_index_auto(args.ref_fasta, args.w, args.k, 14, flag)
         _qname, q = read_fasta_first(args.qry_fasta)
-        mv = collect_query_minimizers(q, idx.w, idx.k)
-        mv = filter_query_minimizers(mv, 10, 0.01)
         mid_occ = max(idx.calc_mid_occ(2e-4), 10)
-        anchors = build_anchors(idx, mv, len(q), mid_occ)
         cp = ChainParams.defaults_for_k(idx.k, bw=args.bw)
-        chain = chain_dp(anchors, cp)
+        engine = args.engine if args.engine != "auto" else _auto_engine()
+        anchors = _anchors_for(idx, q, mid_occ, args.engine)
+        if engine == "device":
+            chain = _device_chain(anchors, cp)
+        else:
+            chain = chain_dp(anchors, cp)
         print(f"best_chain_len: {len(chain)}")
         if chain:
             st, en = chain[0], chain[-1]
@@ -193,7 +200,17 @@ def main(argv: list[str] | None = None) -> int:
 
         t0 = time.time()
         with device_trace(args.trace_dir):
-            if engine == "device":
+            if engine == "device" and (args.mesh or args.index_shards > 1):
+                from .models.mesh_mapper import make_mesh_mapper
+
+                mapper = make_mesh_mapper(
+                    idx, cp, mp, dp=args.mesh or None, ix=args.index_shards,
+                    index_sharded=args.index_shards > 1,
+                    batch_size=args.batch_size,
+                )
+                lines = mapper.map_reads(reads)
+                stats = dict(mapper.stats)
+            elif engine == "device":
                 from .models.mapper import Mapper
 
                 mapper = Mapper.from_oracle_index(idx, cp, mp, batch_size=args.batch_size)
@@ -215,6 +232,90 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     return 1
+
+
+def _anchors_for(idx: OracleIndex, q: bytes, mid_occ: int, engine: str) -> np.ndarray:
+    """Anchors for one query: device pipeline (sketch -> lookup -> routed
+    expansion -> sort) or the host oracle. Device output is asserted
+    against no silent truncation; overflow or even k falls back to host."""
+    if engine == "auto":
+        engine = _auto_engine()
+    if engine == "device" and idx.k % 2 == 1:
+        out = _device_anchors(idx, q, mid_occ)
+        if out is not None:
+            return out
+    mv = collect_query_minimizers(q, idx.w, idx.k)
+    mv = filter_query_minimizers(mv, 10, 0.01)
+    return build_anchors(idx, mv, len(q), mid_occ)
+
+
+def _device_anchors(idx: OracleIndex, q: bytes, mid_occ: int) -> np.ndarray | None:
+    """(n, 2) uint64 anchors computed on device, or None on capacity
+    overflow (debug capacities are generous: M = L, A = 4L)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from .models.stages import sketch_to_anchors
+    from .ops.index_ops import DeviceIndex
+    from .utils.packing import nt4_encode
+
+    lane = lambda v: max(128, -(-int(v) // 128) * 128)
+    L = lane(len(q))
+    codes = np.full((1, L), 4, dtype=np.int32)
+    codes[0, : len(q)] = nt4_encode(q)
+    dev_idx = DeviceIndex.from_host(
+        idx.keys, idx.starts, idx.counts, idx.positions, key_bits=2 * idx.k
+    )
+    # jit the stage: eager dispatch pays per-op relay latency on TPU
+    fn = jax.jit(functools.partial(
+        sketch_to_anchors,
+        w=idx.w, k=idx.k, hpc=False, q_occ_max=10, q_occ_frac=0.01,
+        M=L, A=lane(4 * L),
+    ))
+    anc = fn(
+        dev_idx, jnp.asarray(codes),
+        jnp.asarray(np.array([len(q)], dtype=np.int32)), jnp.int32(mid_occ),
+    )
+    if bool(np.asarray(anc["anc_ovf"])[0]) or bool(np.asarray(anc["mini_ovf"])[0]):
+        return None
+    n = int(np.asarray(anc["n_anchors"])[0])
+    x = (np.asarray(anc["x_hi"])[0, :n].astype(np.uint64) << np.uint64(32)) | np.asarray(anc["x_lo"])[0, :n].astype(np.uint64)
+    y = (np.asarray(anc["y_hi"])[0, :n].astype(np.uint64) << np.uint64(32)) | np.asarray(anc["y_lo"])[0, :n].astype(np.uint64)
+    return np.stack([x, y], axis=1)
+
+
+def _device_chain(anchors: np.ndarray, cp: ChainParams) -> list[int]:
+    """Reference chain_dp (lchain.rs:54-57) with the DP on device: the
+    pruned kernel (bit-parity with the scan, tests/test_chain_skip_prune)
+    plus the host backtrack; returns the best chain's anchor indices."""
+    import jax.numpy as jnp
+
+    from .oracle.lchain import backtrack
+    from .ops.chain_ops import chain_dp_batch, chain_scalars_from_params
+
+    n = anchors.shape[0]
+    if n == 0:
+        return []
+    A = max(128, -(-n // 128) * 128)
+    grp = np.full((1, A), 0xFFFFFFFF, dtype=np.uint32)
+    rpos = np.zeros((1, A), np.int32)
+    qpos = np.zeros((1, A), np.int32)
+    span = np.zeros((1, A), np.int32)
+    grp[0, :n] = (anchors[:, 0] >> np.uint64(32)).astype(np.uint32)
+    rpos[0, :n] = (anchors[:, 0] & np.uint64(0xFFFFFFFF)).astype(np.int32)
+    qpos[0, :n] = (anchors[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.int32)
+    span[0, :n] = ((anchors[:, 1] >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int32)
+    f, prev = chain_dp_batch(
+        jnp.asarray(grp), jnp.asarray(rpos), jnp.asarray(qpos),
+        jnp.asarray(span), chain_scalars_from_params(cp),
+        min(cp.max_chain_iter, A), max_chain_skip=cp.max_chain_skip,
+    )
+    chains, _scores = backtrack(
+        anchors, np.asarray(f)[0, :n], None, np.asarray(prev)[0, :n], cp
+    )
+    return chains[0] if chains else []
 
 
 def _auto_engine() -> str:

@@ -67,3 +67,34 @@ def test_cli_output_file(fixtures, tmp_path):
     assert main(["align", ref, qry, "-o", outp, "--engine", "host"]) == 0
     lines = open(outp).read().strip().splitlines()
     assert lines and all(len(l.split("\t")) == 18 for l in lines)
+
+
+def test_cli_anchors_chain_device_matches_host(fixtures, capsys):
+    """--engine device on the debug subcommands must print exactly what
+    the host oracle prints (the device chain uses the pruned kernel)."""
+    d, ref, qry, genome, reads = fixtures
+    outs = {}
+    for eng in ("host", "device"):
+        assert main(["anchors", ref, qry, "--engine", eng]) == 0
+        a = capsys.readouterr().out
+        assert main(["chain", ref, qry, "--engine", eng]) == 0
+        c = capsys.readouterr().out
+        outs[eng] = (a, c)
+    assert outs["device"] == outs["host"]
+    assert outs["host"][0].startswith("anchors: ")
+    assert "best_chain_len: " in outs["host"][1]
+
+
+def test_cli_align_mesh(fixtures, capsys):
+    """--mesh DP maps over a device mesh (replicated index) and
+    --index-shards IX shards it; output must equal the host engine."""
+    d, ref, qry, genome, reads = fixtures
+    assert main(["align", ref, qry, "--engine", "host"]) == 0
+    host = capsys.readouterr().out
+    assert main(["align", ref, qry, "--engine", "device", "--mesh", "2"]) == 0
+    assert capsys.readouterr().out == host
+    assert main([
+        "align", ref, qry, "--engine", "device",
+        "--mesh", "2", "--index-shards", "2",
+    ]) == 0
+    assert capsys.readouterr().out == host
