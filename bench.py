@@ -43,7 +43,7 @@ def main() -> int:
     ap.add_argument("--genome-mb", type=float, default=5.0)
     ap.add_argument("--batch-size", type=int, default=4096)
     ap.add_argument("--parity-stride", type=int, default=64)
-    ap.add_argument("--longread-n", type=int, default=192)
+    ap.add_argument("--longread-n", type=int, default=512)
     ap.add_argument("--large-mb", type=float, default=100.0)
     ap.add_argument("--skip-large", action="store_true")
     ap.add_argument("--skip-longread", action="store_true")

@@ -146,6 +146,7 @@ def _fused_map_stage(
     static_argnames=(
         "w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A", "window",
         "pallas_chain", "flag_window_ovf", "packed", "max_chain_skip",
+        "wide",
     ),
 )
 def _fused_map_stage_lite(
@@ -171,6 +172,7 @@ def _fused_map_stage_lite(
     flag_window_ovf: bool = False,
     packed: bool = False,
     max_chain_skip: int | None = None,
+    wide: bool = True,
 ):
     """Default-parameter fast path: the whole pipeline INCLUDING chain
     finalization on device; output is (B, 18) int32 PAF fields
@@ -201,6 +203,7 @@ def _fused_map_stage_lite(
         rmq_rescue_size, rmq_rescue_ratio,
         k=k, hpc=hpc, window=window, pallas_chain=pallas_chain,
         flag_window_ovf=flag_window_ovf, max_chain_skip=max_chain_skip,
+        wide=wide,
     )
 
 
@@ -287,18 +290,25 @@ class Mapper:
     cp: ChainParams
     mp: MapParams
     mid_occ: int
-    # length buckets: reads are padded to the smallest bucket >= their length
-    buckets: tuple[int, ...] = (1024, 2048, 4096, 8192, 16384, 32768, 65536)
+    # length buckets: reads are padded to the smallest bucket >= their
+    # length; 1.5x steps in the long-read range cut padded anchor slots
+    # (the chain DP cost is ~ slots x window) by ~25% vs pure powers of 2
+    buckets: tuple[int, ...] = (
+        1024, 2048, 4096, 8192, 12288, 16384, 24576, 32768, 49152, 65536
+    )
     # max reads per device call; every host<->device sync costs ~25 ms
     # through the TPU relay, so calls are sized by total anchor slots
     # (SLOT_TARGET) and capped here
     batch_size: int = 4096
-    # minimizer density is ~2/(w+1) ~ 0.18/base and anchors ~1.05x that on
-    # non-repetitive genomes; reads that overflow the padded slots re-run
-    # on device at 4x capacity (then fall back to the host path), so these
-    # control speed, not correctness
-    mini_frac: float = 0.25   # minimizer slots per base of bucket
-    anchor_frac: float = 0.25  # anchor slots per base of bucket
+    # minimizer density is 2/(w+1) ~ 0.18/base and anchors ~0.8x that on
+    # non-repetitive genomes (the occ filters drop some); reads that
+    # overflow the padded slots are flagged exactly and re-run on device
+    # at 4x capacity (then fall back to the host path), so these control
+    # speed, not correctness. Measured on 20 kb reads: 0.147 anchors/base
+    # mean, so 0.18 keeps a 1.2x margin while cutting the dominant
+    # chain-DP cost 28% vs the old 0.25.
+    mini_frac: float = 0.22   # minimizer slots per base of bucket
+    anchor_frac: float = 0.18  # anchor slots per base of bucket
     slot_target: int = 1 << 20  # anchor slots per device call
     # lite-path chain window cap (slots): anchors within max_dist_x
     # average ~740 slots at w=10 emission density, so 1024 covers typical
@@ -359,7 +369,8 @@ class Mapper:
             self._tname_off = np.zeros(len(enc) + 1, dtype=np.int64)
             np.cumsum([len(n) for n in enc], out=self._tname_off[1:])
 
-    def _device_stage_lite(self, codes, lengths, M, A, scalars: ChainScalars, window: int):
+    def _device_stage_lite(self, codes, lengths, M, A, scalars: ChainScalars, window: int,
+                           wide: bool = True):
         self._ensure_meta()
         if not hasattr(self, "_tlens_dev"):
             self._tlens_dev = jnp.asarray(self._tlens)
@@ -373,7 +384,10 @@ class Mapper:
         # constants and marshal correctly.
         flag_wovf = window < min(self.cp.max_chain_iter, A)
         mcs = _chain_skip_cfg(self.cp)
-        key = (codes.shape, M, A, window, flag_wovf, _use_pallas_chain(), mcs)
+        key = (
+            codes.shape, M, A, window, flag_wovf, _use_pallas_chain(), mcs,
+            wide,
+        )
         args = (
             self.dev_idx, codes, lengths, scalars, self._scalars_wide,
             jnp.int32(self.mid_occ),
@@ -387,29 +401,54 @@ class Mapper:
                 *args,
                 w=self.idx.w, k=self.idx.k, hpc=False,
                 q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
-                M=M, A=A, window=window, pallas_chain=key[-2],
+                M=M, A=A, window=window, pallas_chain=key[-3],
                 flag_window_ovf=flag_wovf, packed=True, max_chain_skip=mcs,
+                wide=wide,
             )
             self._lite_exec[key] = lowered.compile()
         return self._lite_exec[key](*args)
 
     def _postprocess_lite(self, reads, chunk, fields, results, mode="normal"):
-        """Format PAF lines from the device's (B, 32) dual-band field
-        array: the wide-band row replaces the normal row when the rescue
-        flag is set (lchain.rs:321-330, resolved without a round-trip).
-        Capacity overflow goes to the 4x-capacity device tier ("normal"
-        mode) or the host pipeline ("tier2" mode). Formatting runs in the
-        native runtime (mm2t_format_lite) when built; the Python loop
-        below is the bit-identical fallback."""
+        """Format PAF lines from the device's (B, 18) field rows.
+
+        Modes:
+          "lazy"   — phase 1 of the lazy dual-band: rows whose rescue
+                     flag fired (and did not overflow) are queued for the
+                     wide-band re-run instead of formatting; overflow
+                     goes to the 4x device tier.
+          "wide"   — the wide-band re-run: rows replace phase-1 results;
+                     overflow (now against bw_long's max_dist_x) goes to
+                     the 4x tier; the rescue flag is ignored (rescue was
+                     decided by the normal band, lchain.rs:321-326).
+          "normal" — device-merged dual-band rows; overflow to the tier.
+          "tier2"  — final: residual overflow to the host pipeline.
+
+        Formatting runs in the native runtime (mm2t_format_lite) when
+        built; the Python loop below is the bit-identical fallback."""
         from ..ops.finalize_ops import FIELDS
 
         self._ensure_meta()
         col = {name: i for i, name in enumerate(FIELDS)}
+        requeue = mode in ("lazy", "wide", "normal")
         if not os.environ.get("MM2T_NO_NATIVE"):
             from ..runtime.host import native_format_lite
 
             n = len(chunk)
-            fr = np.ascontiguousarray(fields[:n])
+            # lazy mode writes the rescue suppression below; jax->numpy
+            # views are read-only, so take a real copy there
+            fr = (np.array(fields[:n]) if mode == "lazy"
+                  else np.ascontiguousarray(fields[:n]))
+            ovf_m = (
+                (fr[:, col["mini_ovf"]] != 0)
+                | (fr[:, col["anc_ovf"]] != 0)
+                | (fr[:, col["win_ovf"]] != 0)
+            )
+            if mode == "lazy":
+                resc = (fr[:, col["rescue"]] != 0) & ~ovf_m
+                # suppress the normal-band line; the wide pass replaces it
+                fr[resc, col["n_anchors"]] = 0
+            else:
+                resc = np.zeros(n, dtype=bool)
             dv_n = _dv_from_fields(fr, col)
             qlens = np.fromiter(
                 (len(reads[ri][1]) for ri in chunk), dtype=np.int32, count=n
@@ -425,21 +464,21 @@ class Mapper:
                 # line offsets are BYTE offsets; whole-blob str slicing is
                 # only safe when every byte is one char
                 text = blob.decode("ascii") if blob.isascii() else None
-                ovf = (
-                    (fr[:, col["mini_ovf"]] != 0)
-                    | (fr[:, col["anc_ovf"]] != 0)
-                    | (fr[:, col["win_ovf"]] != 0)
-                ).tolist()  # plain bools: numpy scalar boxing dominates the loop
+                # plain bools: numpy scalar boxing dominates the loop
+                ovf = ovf_m.tolist()
+                rescl = resc.tolist()
                 offl = off.tolist()
                 for bi, ri in enumerate(chunk):
                     a, b = offl[bi], offl[bi + 1]
-                    if b > a:
+                    if rescl[bi]:
+                        self._wide_queue.append(ri)
+                    elif b > a:
                         results[ri] = [
                             text[a:b] if text is not None
                             else blob[a:b].decode()
                         ]
                     elif ovf[bi]:
-                        if mode == "normal":
+                        if requeue:
                             self._tier2_queue.append(ri)
                         else:
                             results[ri] = self._host_fallback(reads[ri])
@@ -454,10 +493,13 @@ class Mapper:
             qname, qseq = reads[ri]
             row = rows[bi]
             if row[col["mini_ovf"]] or row[col["anc_ovf"]] or row[col["win_ovf"]]:
-                if mode == "normal":
+                if requeue:
                     self._tier2_queue.append(ri)
                 else:
                     results[ri] = self._host_fallback(reads[ri])
+                continue
+            if mode == "lazy" and row[col["rescue"]]:
+                self._wide_queue.append(ri)
                 continue
             if row[col["n_anchors"]] == 0:
                 results[ri] = []
@@ -522,15 +564,29 @@ class Mapper:
 
         # phase 1: submit every batch to the device (async dispatch) so
         # TPU compute and device->host transfers overlap with the host
-        # postprocessing of earlier batches
+        # postprocessing of earlier batches. The lite path runs the
+        # NORMAL band only (wide=False): the bw_long band — half the DP
+        # cost — is computed lazily in phase 2.2 for the (rare) reads
+        # whose rescue flag fired (lchain.rs:321-330).
         t0 = _time.time()
-        pending = self._submit_groups(reads, groups, scalars, lite, mult=1)
+        pending = self._submit_groups(
+            reads, groups, scalars, lite, mult=1, wide=False
+        )
         self._t("submit", _time.time() - t0)
 
         # phase 2: pull + postprocess in submission order
         self._rescue_queue: list = []
         self._tier2_queue: list = []
-        self._drain_pending(reads, pending, results, lite)
+        self._wide_queue: list = []
+        self._drain_pending(reads, pending, results, lite,
+                            mode="lazy" if lite else "normal")
+
+        # phase 2.2: lazy wide band — rescued reads re-run the SAME
+        # executable with the bw_long scalars (scalars are traced args,
+        # so no recompile)
+        t4 = _time.time()
+        self._drain_wides_lite(reads, results, lite)
+        self._t("wide", _time.time() - t4)
 
         # phase 2.5: capacity-overflow reads re-run on device at 4x slots
         t4 = _time.time()
@@ -538,11 +594,34 @@ class Mapper:
         self._t("tier2", _time.time() - t4)
 
         # phase 3: one batched wide-band rescue pass for all queued reads
+        # (general path only; the lite path resolved rescue in 2.2)
         t4 = _time.time()
         self._drain_rescues(reads, results)
         self._t("rescue", _time.time() - t4)
 
         return [line for i in range(len(reads)) for line in results.get(i, [])]
+
+    def _drain_wides_lite(self, reads, results, lite):
+        """Phase 2.2: reads whose normal-band rescue flag fired re-run
+        with the wide-band scalars (one band, wide=False), replacing
+        their rows (lchain.rs:321-330 semantics, batched)."""
+        queue = getattr(self, "_wide_queue", [])
+        self._wide_queue = []
+        if not queue:
+            return
+        if not hasattr(self, "_scalars_wide"):
+            self._scalars_wide = chain_scalars_from_params(
+                dataclasses.replace(self.cp, bw=self.cp.bw_long)
+            )
+        groups: dict[int, list[int]] = {}
+        for ri in queue:
+            L = len(reads[ri][1])
+            bucket = next(b for b in self.buckets if L <= b)
+            groups.setdefault(bucket, []).append(ri)
+        pending = self._submit_groups(
+            reads, groups, self._scalars_wide, lite, mult=1, wide=False
+        )
+        self._drain_pending(reads, pending, results, lite, mode="wide")
 
     def _shapes_for(self, bucket: int, mult: int):
         """Padded capacities and reads-per-call for a length bucket.
@@ -558,9 +637,11 @@ class Mapper:
         B = B // 128 * 128 if B >= 128 else -(-B // 8) * 8
         return M, A, window, B
 
-    def _submit_groups(self, reads, groups, scalars, lite, mult=None):
+    def _submit_groups(self, reads, groups, scalars, lite, mult=None,
+                       wide=True):
         """groups: {bucket: [ri...]} with uniform `mult`, or
-        {(bucket, mult): [ri...]} when mult is None."""
+        {(bucket, mult): [ri...]} when mult is None. `wide` selects the
+        lite stage's dual-band (True) vs single-band (False) program."""
         pending = []
         for gkey, idxs in groups.items():
             bucket, gmult = gkey if mult is None else (gkey, mult)
@@ -597,11 +678,16 @@ class Mapper:
                         codes[bi, :n] = enc[off : off + n]
                         off += n
                     packed4 = _pack_codes4_host(codes)
-                stage = self._device_stage_lite if lite else self._device_stage
-                packed = stage(
-                    jnp.asarray(packed4), jnp.asarray(lengths),
-                    M, A, scalars, window,
-                )
+                if lite:
+                    packed = self._device_stage_lite(
+                        jnp.asarray(packed4), jnp.asarray(lengths),
+                        M, A, scalars, window, wide=wide,
+                    )
+                else:
+                    packed = self._device_stage(
+                        jnp.asarray(packed4), jnp.asarray(lengths),
+                        M, A, scalars, window,
+                    )
                 # start the device->host copy now so it overlaps the
                 # compute of later batches (the drain's np.asarray then
                 # finds the bytes already on host)

@@ -70,7 +70,8 @@ class MeshMapper(Mapper):
             )
         return self._sidx
 
-    def _device_stage_lite(self, codes, lengths, M, A, scalars, window):
+    def _device_stage_lite(self, codes, lengths, M, A, scalars, window,
+                           wide: bool = True):
         from ..parallel.pipeline import (
             make_map_batch_dp_lite,
             make_map_batch_sharded_lite,
@@ -92,7 +93,7 @@ class MeshMapper(Mapper):
         mcs = _chain_skip_cfg(self.cp)
         key = (
             codes.shape, M, A, window, flag_wovf, pallas,
-            self.index_sharded, mcs,
+            self.index_sharded, mcs, wide,
         )
         idx_arg = self._sharded_index() if self.index_sharded else self.dev_idx
         args = (
@@ -107,7 +108,7 @@ class MeshMapper(Mapper):
                 q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
                 M=M, A=A, window=window, pallas_chain=pallas,
                 flag_window_ovf=flag_wovf, packed=True,
-                max_chain_skip=mcs,
+                max_chain_skip=mcs, wide=wide,
             )
             maker = (
                 make_map_batch_sharded_lite if self.index_sharded

@@ -82,11 +82,19 @@ def chain_finalize_lite(
     pallas_chain: bool = False,
     flag_window_ovf: bool = False,
     max_chain_skip: int | None = None,
+    wide: bool = True,
 ) -> jnp.ndarray:
-    """Dual-band chain DP + on-device finalization; returns the (B, 18)
-    int32 PAF field rows (ops/finalize_ops.FIELDS), already switched to
-    the bw_long wide-band result for reads whose normal-band rescue flag
-    fired (lchain.rs:321-330, resolved without a round-trip).
+    """Chain DP + on-device finalization; returns the (B, 18) int32 PAF
+    field rows (ops/finalize_ops.FIELDS).
+
+    wide=True (dual-band) also runs the bw_long band and switches to it
+    for reads whose normal-band rescue flag fired (lchain.rs:321-330,
+    resolved without a round-trip) — used by the mesh paths and the
+    overflow tier. wide=False computes ONLY the `scalars` band (halving
+    the dominant DP cost); the caller reads the returned rescue flag and
+    re-runs flagged reads through the same executable with the bw_long
+    scalars (chain scalars are traced, so no recompile — see
+    Mapper._drain_wides_lite).
 
     The window-truncation flag is computed PER BAND with that band's own
     max_dist_x — the wide row runs at bw_long where a predecessor beyond
@@ -145,7 +153,7 @@ def chain_finalize_lite(
         spans = None
         sum_span = None
     fields = []
-    for scal in (scalars, scalars_wide):
+    for scal in (scalars, scalars_wide) if wide else (scalars,):
         f, cnt, sq, sr = _chain_fn(*args, scal, window)
         fields.append(finalize_from_aux(
             f, cnt, sq, sr, x_hi, x_lo, y_lo, n_anchors,
@@ -154,6 +162,8 @@ def chain_finalize_lite(
             win_ovf=_win_ovf_for(scal.max_dist_x), spans=spans,
             sum_span=sum_span,
         ))
+    if not wide:
+        return fields[0]
     # resolve the rescue switch on device: ship one (B, 18) row per read
     resc = fields[0][:, FIELDS.index("rescue")] != 0
     return jnp.where(resc[:, None], fields[1], fields[0])

@@ -153,11 +153,17 @@ def finalize_from_aux(
     r_qs = jnp.where(rev == 1, qlen - qe, qs)
     r_qe = jnp.where(rev == 1, qlen - qs, qe)
     # the border test uses the truncated average span (paf.rs:192-196);
-    # exactly k when spans are uniform
+    # exactly k when spans are uniform. Computed with INTEGER division:
+    # XLA lowers f32 division to reciprocal-multiply (2775/185 ->
+    # 14.999999), flipping the truncation where the reference's
+    # correctly-rounded f32 division gives 15.0 exactly. For span <= 255
+    # (so quotient <= 255, half-ULP <= 2^-16) and n_mini <= 2^14 (true
+    # quotient sits >= 2^-14 below the next integer) the correctly
+    # rounded f32 quotient can never reach the next integer, so
+    # trunc(f32(sum/n)) == sum // n bit-exactly.
     if sum_span is None:
         sum_span = n_mini * jnp.int32(k)
-    avg_k = sum_span.astype(jnp.float32) / jnp.maximum(n_mini, 1).astype(jnp.float32)
-    kk = avg_k.astype(I32)
+    kk = sum_span // jnp.maximum(n_mini, 1)
     n_tot = n_tot + ((r_qs > kk) & (ts > kk)).astype(I32)
     n_tot = n_tot + (((qlen - r_qe) > kk) & ((tlen - te) > kk)).astype(I32)
 

@@ -167,6 +167,7 @@ def _lite_kwargs(statics: dict) -> dict:
         pallas_chain=statics.get("pallas_chain", False),
         flag_window_ovf=statics.get("flag_window_ovf", False),
         max_chain_skip=statics.get("max_chain_skip"),
+        wide=statics.get("wide", True),
     )
 
 

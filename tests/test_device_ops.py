@@ -261,9 +261,10 @@ def test_pallas_aux_chain_matches_scan(device_setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.parametrize("w,k", [(10, 15), (5, 11), (19, 19), (3, 16)])
+@pytest.mark.parametrize("w,k", [(10, 15), (5, 11), (19, 19), (3, 17)])
 def test_device_sketch_matches_oracle_wk(w, k):
-    """Covers both the u32 fast path (2k+1 <= 32) and the u64 path."""
+    """Covers both the u32 fast path (2k+1 <= 32) and the u64 path.
+    (Odd k only: the kernel refuses even k — see the next test.)"""
     rng = np.random.default_rng(100 + w * k)
     seqs = []
     for _ in range(5):
@@ -286,3 +287,12 @@ def test_device_sketch_matches_oracle_wk(w, k):
         dev = {(int(keys[b, j]), int(psn[b, j])) for j in np.nonzero(em[b])[0]}
         exact = {(kk, r & 0xFFFFFFFF) for kk, r in sketch_sequence(s, w, k)}
         assert dev == exact, (b, w, k)
+
+
+def test_device_sketch_refuses_even_k():
+    """Even k admits strand-symmetric k-mers the characterization does
+    not model; the kernel must refuse rather than silently diverge."""
+    codes = jnp.full((1, 128), 4, dtype=jnp.int32)
+    lengths = jnp.asarray(np.array([64], dtype=np.int32))
+    with pytest.raises(AssertionError):
+        sketch_positions(codes, lengths, 3, 16, False)

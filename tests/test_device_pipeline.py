@@ -181,3 +181,27 @@ def test_even_k_hpc_index_and_query():
     host = map_reads(idx, rl, cp, mp)
     dev = mapper.map_reads(rl)
     assert dev == host
+
+
+def test_dv_border_truncation_exact():
+    """The dv border test truncates avg_k from a correctly-rounded f32
+    division (paf.rs:192-196); XLA's reciprocal-multiply division gave
+    14.999999 for 2775/185 and flipped the border for reads whose chain
+    ends exactly k bases from the read edge. finalize_ops computes kk
+    with integer division now; this corpus contains such boundary reads
+    (VERDICT r2 regression, caught by the bench parity gate)."""
+    genome = random_genome(120_000, seed=31)
+    idx = build_index([("chrV", genome)], IndexParams(w=W, k=K))
+    cp = ChainParams.defaults_for_k(K)
+    mp = MapParams()
+    mapper = Mapper.from_oracle_index(
+        idx, cp, mp, buckets=(512, 1024), batch_size=64,
+        mini_frac=0.6, anchor_frac=1.0,
+    )
+    # many reads with varied trims -> several land with chain ends
+    # exactly k bases from an edge
+    reads = simulate_reads(genome, 160, read_len=(300, 900), seed=32)
+    rl = [(n, s) for n, s, *_ in reads]
+    host = map_reads(idx, rl, cp, mp)
+    dev = mapper.map_reads(rl)
+    assert dev == host
