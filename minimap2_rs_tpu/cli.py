@@ -50,7 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_wk(p)
     p.add_argument("-b", "--bucket-bits", type=int, default=14)
     p.add_argument("-d", "--dump", default=None)
-    p.add_argument("--engine", choices=["auto", "device", "host"], default="auto")
+    p.add_argument("--engine", choices=["auto", "native", "device", "host"],
+                   default="auto")
 
     p = sub.add_parser("anchors", help="debug: print anchor stats")
     p.add_argument("ref_fasta")
@@ -102,8 +103,17 @@ def main(argv: list[str] | None = None) -> int:
         params = IndexParams(w=args.w, k=args.k, bucket_bits=args.bucket_bits, flag=flag)
         engine = args.engine
         if engine == "auto":
-            engine = _auto_engine()
-        if engine == "device":
+            # the threaded C++ build is the fastest engine wherever the
+            # native library exists (the device build's result transfer
+            # is bounded by the host<->TPU link)
+            from .runtime.host import native_available
+
+            engine = "native" if native_available() else _auto_engine()
+        if engine == "native":
+            from .models.index_builder import build_index_native
+
+            idx = build_index_native(records, params)
+        elif engine == "device":
             from .models.index_builder import build_index_device
 
             idx = build_index_device(records, params)

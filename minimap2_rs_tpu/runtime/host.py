@@ -129,8 +129,54 @@ def _load():
     if hasattr(lib, "mm2t_mmi_selfcheck"):
         lib.mm2t_mmi_selfcheck.restype = ctypes.c_int64
         lib.mm2t_mmi_selfcheck.argtypes = [u8p, ctypes.c_int64]
+    if hasattr(lib, "mm2t_build_pairs"):
+        lib.mm2t_build_pairs.restype = ctypes.c_int64
+        lib.mm2t_build_pairs.argtypes = [
+            u8p, i64p, ctypes.c_int64,                     # codes, seq_off, n_seq
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # w, k, is_hpc
+            ctypes.c_int32, ctypes.c_int64,                # n_threads, chunk
+            u64p, u64p, ctypes.c_int64,                    # out_keys, out_rps, cap
+        ]
     _LIB = lib
     return _LIB
+
+
+def native_build_pairs(
+    codes: np.ndarray, seq_off: np.ndarray, w: int, k: int,
+    is_hpc: bool = False, n_threads: int | None = None,
+    chunk: int = 1 << 22,
+):
+    """Threaded exact-scan index build (the reference's rayon region,
+    index.rs:442-452): returns (keys, rid_pos_strand) uint64 arrays
+    sorted by (key, rps), or None when the native library is
+    unavailable. codes = concatenated nt4 codes; seq_off = int64
+    per-sequence offsets (n_seq + 1)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mm2t_build_pairs"):
+        return None
+    if n_threads is None:
+        n_threads = max(1, os.cpu_count() or 1)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    seq_off = np.ascontiguousarray(seq_off, dtype=np.int64)
+    n_seq = seq_off.shape[0] - 1
+    # minimizer density ~2/(w+1); 0.3/base is a generous first guess
+    cap = max(int(codes.shape[0] * 0.3) + 1024, 1 << 12)
+    keys = np.empty(cap, dtype=np.uint64)
+    rps = np.empty(cap, dtype=np.uint64)
+    n = lib.mm2t_build_pairs(
+        codes, seq_off, n_seq, w, k, int(is_hpc), int(n_threads),
+        chunk, keys, rps, cap,
+    )
+    if n < 0:
+        raise ValueError("invalid build parameters")
+    if n > cap:
+        keys = np.empty(n, dtype=np.uint64)
+        rps = np.empty(n, dtype=np.uint64)
+        n = lib.mm2t_build_pairs(
+            codes, seq_off, n_seq, w, k, int(is_hpc), int(n_threads),
+            chunk, keys, rps, n,
+        )
+    return keys[:n], rps[:n]
 
 
 def native_mmi_selfcheck(path_or_bytes) -> int | None:

@@ -20,10 +20,13 @@
 // packed encodings match the reference bit layouts.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <thread>
+#include <utility>
 #include <vector>
 
 extern "C" {
@@ -57,12 +60,39 @@ static const uint8_t NT4[256] = {
     4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
     4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4};
 
+// identity table for pre-encoded nt4 codes (0..4; anything else -> 4)
+static const uint8_t CODE5[256] = {
+    0, 1, 2, 3, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4};
+
 // Emits (key_span, rid_pos_strand) pairs into out (capacity cap).
 // Returns the number of records (may exceed cap; caller re-calls with a
 // bigger buffer — records beyond cap are discarded, not written).
+// `tbl` maps input bytes to nt4 codes (NT4 for ASCII, CODE5 for codes).
+static int64_t sketch_impl(const uint8_t* tbl, const uint8_t* seq,
+                           int64_t n, int32_t w, int32_t k, uint32_t rid,
+                           int32_t is_hpc, uint64_t* out, int64_t cap,
+                           int emit_final);
+
 int64_t mm2t_sketch(const uint8_t* seq, int64_t n, int32_t w, int32_t k,
                     uint32_t rid, int32_t is_hpc, uint64_t* out,
                     int64_t cap) {
+  return sketch_impl(NT4, seq, n, w, k, rid, is_hpc, out, cap, 1);
+}
+
+static int64_t sketch_impl(const uint8_t* tbl, const uint8_t* seq,
+                           int64_t n, int32_t w, int32_t k, uint32_t rid,
+                           int32_t is_hpc, uint64_t* out, int64_t cap,
+                           int emit_final) {
   if (n <= 0 || w <= 0 || w >= 256 || k <= 0 || k > 28) return -1;
   const uint64_t shift1 = 2 * (uint64_t)(k - 1);
   const uint64_t mask = (~0ULL) >> (64 - 2 * k);
@@ -84,14 +114,14 @@ int64_t mm2t_sketch(const uint8_t* seq, int64_t n, int32_t w, int32_t k,
     n_out++;
   };
   for (int64_t i = 0; i < n; ++i) {
-    int c = NT4[seq[i]];
+    int c = tbl[seq[i]];
     Info info = {~0ULL, ~0ULL};
     if (c < 4) {
       if (is_hpc) {
         int64_t skip_len = 1;
-        if (i + 1 < n && NT4[seq[i + 1]] == c) {
+        if (i + 1 < n && tbl[seq[i + 1]] == c) {
           int64_t t = i + 2;
-          while (t < n && NT4[seq[t]] == c) t++;
+          while (t < n && tbl[seq[t]] == c) t++;
           skip_len = t - i;
         }
         tq[(tq_count + tq_front) & 0x1f] = (int32_t)skip_len;
@@ -147,7 +177,9 @@ int64_t mm2t_sketch(const uint8_t* seq, int64_t n, int32_t w, int32_t k,
     }
     if (++buf_pos == w) buf_pos = 0;
   }
-  if (mn.x != ~0ULL) push(mn);
+  // the sequence-end flush (sketch.rs:99) — suppressed for interior
+  // chunks of the threaded index build (mm2t_build_pairs below)
+  if (emit_final && mn.x != ~0ULL) push(mn);
   return n_out;
 }
 
@@ -881,6 +913,115 @@ int64_t mm2t_mmi_selfcheck(const uint8_t* data, int64_t len) {
   if (!std::equal(from_table.begin(), from_table.end(), from_sketch.begin()))
     return -7;
   return 0;
+}
+
+// ---------------------------------------------------------------------
+// threaded index build — the reference's rayon region
+// (/root/reference/src/index.rs:442-452) as std::thread over a chunk
+// plan. Input is ONE concatenated nt4-code array with per-sequence
+// offsets; output is the (key = hash without the span byte,
+// rid_pos_strand) pair list sorted by (key, rps) — exactly what the
+// flat-array flatten consumes (oracle/index.py _flatten(presorted)).
+//
+// Long sequences are cut into `chunk`-base pieces with (w+k)-base halos
+// and owned-range filtering, the same halo math as the device build
+// (ops/index_build.py): every owned emission of the full scan happens
+// by the time the window slides w positions past it, i.e. inside the
+// right halo, and the sequence-end flush fires only on the last chunk.
+// Set-exact for odd k (like the device build); even k and HPC disable
+// intra-sequence chunking (the l-counter pause / homopolymer lookahead
+// cross chunk boundaries) and parallelize over whole sequences only.
+// ---------------------------------------------------------------------
+
+// Returns the total pair count; pairs beyond `cap` are not written (the
+// caller re-calls with a bigger buffer). Negative on invalid params.
+int64_t mm2t_build_pairs(
+    const uint8_t* codes, const int64_t* seq_off, int64_t n_seq,
+    int32_t w, int32_t k, int32_t is_hpc, int32_t n_threads,
+    int64_t chunk, uint64_t* out_keys, uint64_t* out_rps, int64_t cap) {
+  if (w <= 0 || w >= 256 || k <= 0 || k > 28 || n_seq < 0) return -1;
+  if (n_threads < 1) n_threads = 1;
+  if (chunk < 4 * (int64_t)(w + k)) chunk = 1 << 22;
+  const int64_t halo = w + k;
+  const bool splittable = (k % 2 == 1) && !is_hpc;
+
+  struct Piece {
+    int64_t rid, start, own0, own_len, content;
+    int emit_final;
+  };
+  std::vector<Piece> plan;
+  for (int64_t s = 0; s < n_seq; ++s) {
+    const int64_t L = seq_off[s + 1] - seq_off[s];
+    if (L <= 0) continue;
+    const int64_t step = splittable ? chunk : L;
+    for (int64_t pos = 0; pos < L; pos += step) {
+      const int64_t own_len = std::min(step, L - pos);
+      const int64_t left = std::min(halo, pos);
+      const bool last = pos + own_len >= L;
+      const int64_t right = last ? 0 : std::min(halo, L - (pos + own_len));
+      plan.push_back({s, seq_off[s] + pos - left, left, own_len,
+                      left + own_len + right, last ? 1 : 0});
+    }
+  }
+
+  std::atomic<int64_t> next(0);
+  std::vector<std::vector<std::pair<uint64_t, uint64_t>>> parts(n_threads);
+  auto worker = [&](int t) {
+    std::vector<uint64_t> buf;
+    auto& out = parts[t];
+    for (;;) {
+      const int64_t i = next.fetch_add(1);
+      if (i >= (int64_t)plan.size()) break;
+      const Piece& p = plan[i];
+      buf.resize(2 * (size_t)(p.content / 3 + 64));
+      int64_t nr = sketch_impl(CODE5, codes + p.start, p.content, w, k,
+                               (uint32_t)p.rid, is_hpc, buf.data(),
+                               (int64_t)(buf.size() / 2), p.emit_final);
+      if (nr > (int64_t)(buf.size() / 2)) {
+        buf.resize(2 * (size_t)nr);
+        nr = sketch_impl(CODE5, codes + p.start, p.content, w, k,
+                         (uint32_t)p.rid, is_hpc, buf.data(), nr,
+                         p.emit_final);
+      }
+      const uint64_t own_lo = (uint64_t)p.own0;
+      const uint64_t own_hi = (uint64_t)(p.own0 + p.own_len);
+      // local -> sequence coordinates: local position 0 is global
+      // (p.start), whose in-sequence coordinate is start - seq_off[rid]
+      const uint64_t base = (uint64_t)(p.start - seq_off[p.rid]);
+      for (int64_t r = 0; r < nr; ++r) {
+        const uint64_t key_span = buf[2 * r];
+        const uint64_t y = buf[2 * r + 1];
+        // position lives in the LOW 32 bits as pos<<1|strand; shifting
+        // the whole word first would leak the rid's low bit into bit 31
+        const uint64_t pos_l = (y & 0xffffffffULL) >> 1;
+        if (pos_l < own_lo || pos_l >= own_hi) continue;
+        const uint64_t y_g =
+            (y & ~0xffffffffULL) | (((pos_l + base) << 1) | (y & 1));
+        out.emplace_back(key_span >> 8, y_g);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& th : threads) th.join();
+
+  int64_t total = 0;
+  for (auto& v : parts) total += (int64_t)v.size();
+  if (total > cap) return total;
+  std::vector<std::pair<uint64_t, uint64_t>> all;
+  all.reserve(total);
+  for (auto& v : parts) {
+    all.insert(all.end(), v.begin(), v.end());
+    v.clear();
+    v.shrink_to_fit();
+  }
+  std::sort(all.begin(), all.end());
+  for (int64_t i = 0; i < total; ++i) {
+    out_keys[i] = all[i].first;
+    out_rps[i] = all[i].second;
+  }
+  return total;
 }
 
 }  // extern "C"

@@ -75,3 +75,56 @@ def test_pure_python_paths_still_work(monkeypatch):
         idx, [(n, s) for n, s, *_ in reads], ChainParams.defaults_for_k(15), MapParams()
     )
     assert len(lines) >= 2
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_native_build_pairs_matches_oracle_build():
+    """The threaded C++ build (mm2t_build_pairs) must produce the exact
+    flat index arrays of the host build: multi-sequence (incl. empty and
+    N-rich rows), HPC, and multiple (w, k)."""
+    import numpy as np
+
+    from minimap2_rs_tpu.config import IndexParams
+    from minimap2_rs_tpu.models.index_builder import build_index_native
+    from minimap2_rs_tpu.oracle.index import build_index
+    from minimap2_rs_tpu.utils.seqsim import random_genome
+
+    recs = [
+        ("a", random_genome(120_000, seed=1)),
+        ("b", random_genome(40_000, seed=2)),
+        ("empty", b""),
+        ("n", b"ACGT" * 50 + b"N" * 30 + b"ACGTTGCA" * 1500),
+    ]
+    for flag, k, w in ((0, 15, 7), (1, 15, 7), (0, 13, 10), (0, 19, 5)):
+        p = IndexParams(w=w, k=k, flag=flag)
+        ref = build_index(recs, p)
+        nat = build_index_native(recs, p)
+        for a in ("keys", "starts", "counts", "positions", "S"):
+            np.testing.assert_array_equal(
+                getattr(ref, a), getattr(nat, a), err_msg=f"{a} flag={flag} k={k} w={w}"
+            )
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_native_build_pairs_chunked_halo_exact():
+    """Intra-sequence chunking with (w+k) halos must reproduce the
+    whole-sequence scan's set (the device build's halo math)."""
+    import numpy as np
+
+    from minimap2_rs_tpu.oracle.index import _flatten, build_index
+    from minimap2_rs_tpu.config import IndexParams
+    from minimap2_rs_tpu.runtime.host import native_build_pairs
+    from minimap2_rs_tpu.utils.packing import nt4_encode
+    from minimap2_rs_tpu.utils.seqsim import random_genome
+
+    g = random_genome(400_000, seed=3)
+    ref = build_index([("c", g)], IndexParams())
+    out = native_build_pairs(
+        nt4_encode(g), np.array([0, len(g)], np.int64), 10, 15, False,
+        chunk=1 << 15,  # force many chunks
+    )
+    assert out is not None
+    fk, st, ct, pos = _flatten(out[0], out[1], presorted=True)
+    np.testing.assert_array_equal(fk, ref.keys)
+    np.testing.assert_array_equal(ct, ref.counts)
+    np.testing.assert_array_equal(pos, ref.positions)
