@@ -229,3 +229,32 @@ def test_mapper_skip_prune_env_end_to_end(monkeypatch):
     dev = mapper.map_reads(rl)
     assert dev == host
     assert any(host)
+
+
+def test_mesh_mapper_skip_prune_env(monkeypatch):
+    """MM2T_SKIP_PRUNE threads through the mesh-lite programs too:
+    MeshMapper output stays byte-identical to the host oracle."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    from minimap2_rs_tpu.config import IndexParams, MapParams
+    from minimap2_rs_tpu.models.mesh_mapper import make_mesh_mapper
+    from minimap2_rs_tpu.oracle.index import build_index
+    from minimap2_rs_tpu.oracle.pipeline import map_reads
+    from minimap2_rs_tpu.utils.seqsim import random_genome, simulate_reads
+
+    genome = random_genome(40_000, seed=41)
+    idx = build_index([("chrM", genome)], IndexParams(w=5, k=15))
+    cp = ChainParams.defaults_for_k(15)
+    mp = MapParams()
+    monkeypatch.setenv("MM2T_SKIP_PRUNE", "1")
+    mm = make_mesh_mapper(
+        idx, cp, mp, dp=4, buckets=(512,), batch_size=8,
+        mini_frac=0.6, anchor_frac=1.0,
+    )
+    reads = simulate_reads(genome, 8, read_len=(200, 450), seed=42)
+    rl = [(n, s) for n, s, *_ in reads]
+    host = map_reads(idx, rl, cp, mp)
+    assert mm.map_reads(rl) == host
+    assert any(host)
