@@ -33,6 +33,7 @@ def random_genome(
     ln = 0
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     while ln < length:
+        n_before = len(parts)
         r = rng.random()
         if r < n_frac:
             parts.append(b"N" * int(rng.integers(1, 50)))
@@ -55,7 +56,9 @@ def random_genome(
                     parts.append(rng.choice(bases, size=100).tobytes())
         else:
             parts.append(rng.choice(bases, size=int(rng.integers(200, 2000))).tobytes())
-        ln = sum(map(len, parts))
+        # incremental length: summing every part each round was O(n^2)
+        # and dominated >=100 Mbp generation (minutes -> seconds)
+        ln += sum(len(q) for q in parts[n_before:])
     return b"".join(parts)[:length]
 
 
