@@ -619,7 +619,8 @@ class Mapper:
             bucket = next(b for b in self.buckets if L <= b)
             groups.setdefault(bucket, []).append(ri)
         pending = self._submit_groups(
-            reads, groups, self._scalars_wide, lite, mult=1, wide=False
+            reads, groups, self._scalars_wide, lite, mult=1, wide=False,
+            b_cap=True,
         )
         self._drain_pending(reads, pending, results, lite, mode="wide")
 
@@ -638,14 +639,20 @@ class Mapper:
         return M, A, window, B
 
     def _submit_groups(self, reads, groups, scalars, lite, mult=None,
-                       wide=True):
+                       wide=True, b_cap=None):
         """groups: {bucket: [ri...]} with uniform `mult`, or
         {(bucket, mult): [ri...]} when mult is None. `wide` selects the
-        lite stage's dual-band (True) vs single-band (False) program."""
+        lite stage's dual-band (True) vs single-band (False) program.
+        b_cap shrinks the padded batch dimension toward the group size
+        (rounded up to 128) — the re-run queues carry a few hundred reads
+        at most, and a full-B padded call costs ~B regardless of how few
+        rows are real."""
         pending = []
         for gkey, idxs in groups.items():
             bucket, gmult = gkey if mult is None else (gkey, mult)
             M, A, window, B = self._shapes_for(bucket, gmult)
+            if b_cap is not None:
+                B = min(B, max(128, -(-len(idxs) // 128) * 128))
             if lite and gmult == 1:
                 # long-read fast path: the lite stage flags reads whose
                 # truncated window loses an in-band predecessor exactly
@@ -737,7 +744,8 @@ class Mapper:
             L = len(reads[ri][1])
             bucket = next(b for b in self.buckets if L <= b)
             groups.setdefault(bucket, []).append(ri)
-        pending = self._submit_groups(reads, groups, scalars, lite, mult=4)
+        pending = self._submit_groups(reads, groups, scalars, lite, mult=4,
+                                      b_cap=True)
         self._drain_pending(reads, pending, results, lite, mode="tier2")
 
     # ------------------------------------------------------------------

@@ -48,23 +48,12 @@ FIELDS = [
 
 
 def _lower_bound_single(mini_pos: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """Per-row lower_bound of one value q (B,) into mini_pos (B, M)."""
-    import numpy as _np
-
-    B, M = mini_pos.shape
-    lo = jnp.zeros(B, dtype=I32)
-    hi = jnp.full(B, M, dtype=I32)
-    steps = max(1, int(_np.ceil(_np.log2(M + 1))) + 1)
-
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = (lo + hi) >> 1
-        vmid = jnp.take_along_axis(mini_pos, jnp.minimum(mid, M - 1)[:, None], axis=1)[:, 0]
-        go_right = vmid < q
-        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
-    return lo
+    """Per-row lower_bound of one value q (B,) into sorted mini_pos (B, M):
+    the count of entries < q. One vectorized (B, M) comparison + row-sum —
+    a sequential log(M) binary search costs ~1 ms per fori_loop step on
+    the VPU, ~18 ms per finalize, vs <1 ms for the full-width scan
+    (padding slots hold U32-max and never compare below a 24-bit q)."""
+    return jnp.sum((mini_pos < q[:, None]).astype(I32), axis=1)
 
 
 def finalize_from_aux(
