@@ -30,27 +30,23 @@ def build_index_native(
     native library is absent. Fastest engine on this 2-core host: the
     device build's result transfer is bounded by the TPU relay's
     ~24 MB/s, while this path never leaves the host."""
-    from ..runtime.host import native_build_pairs
+    from ..runtime.host import native_build_index
 
-    codes = np.concatenate(
-        [nt4_encode(s) for _n, s in records]
-    ) if records else np.zeros(0, np.uint8)
+    raw = b"".join(bytes(s) for _n, s in records)
     seq_off = np.zeros(len(records) + 1, dtype=np.int64)
     np.cumsum([len(s) for _n, s in records], out=seq_off[1:])
-    out = native_build_pairs(
-        codes, seq_off, params.w, params.k, params.is_hpc,
+    out = native_build_index(
+        raw, seq_off, params.w, params.k, params.is_hpc, is_ascii=True,
         n_threads=n_threads,
     )
     if out is None:
         return build_index(records, params)
-    keys, rps = out
+    fkeys, starts, counts, positions, S = out
     seqs: list[SeqMeta] = []
     off = 0
     for name, s in records:
         seqs.append(SeqMeta(name=name, offset=off, length=len(s)))
         off += len(s)
-    S = seq4_pack(codes)
-    fkeys, starts, counts, positions = _flatten(keys, rps, presorted=True)
     return OracleIndex(
         w=params.w, k=params.k, b=params.bucket_bits, flag=params.flag,
         n_seq=len(records), seq=seqs, S=S,

@@ -146,10 +146,14 @@ def finalize_from_aux(
     # XLA lowers f32 division to reciprocal-multiply (2775/185 ->
     # 14.999999), flipping the truncation where the reference's
     # correctly-rounded f32 division gives 15.0 exactly. For span <= 255
-    # (so quotient <= 255, half-ULP <= 2^-16) and n_mini <= 2^14 (true
-    # quotient sits >= 2^-14 below the next integer) the correctly
-    # rounded f32 quotient can never reach the next integer, so
-    # trunc(f32(sum/n)) == sum // n bit-exactly.
+    # (so quotient <= 255, half-ULP <= 2^-16) and n_mini < 2^16 (true
+    # quotient sits >= 2^-16 below the next integer, and at quotients
+    # < 256 the half-ULP is 2^-17 < 2^-16) the correctly rounded f32
+    # quotient can never reach the next integer, so
+    # trunc(f32(sum/n)) == sum // n bit-exactly. n_mini < 2^16 covers
+    # the 4x overflow tier (65536-slot bucket x mini_frac 0.22 x 4
+    # ~ 57k slots < 2^16); a capacity raise past 2^16 slots would void
+    # this proof.
     if sum_span is None:
         sum_span = n_mini * jnp.int32(k)
     kk = sum_span // jnp.maximum(n_mini, 1)

@@ -137,6 +137,16 @@ def _load():
             ctypes.c_int32, ctypes.c_int64,                # n_threads, chunk
             u64p, u64p, ctypes.c_int64,                    # out_keys, out_rps, cap
         ]
+    if hasattr(lib, "mm2t_build_index"):
+        u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+        lib.mm2t_build_index.restype = ctypes.c_int64
+        lib.mm2t_build_index.argtypes = [
+            u8p, i64p, ctypes.c_int64,                     # seq, seq_off, n_seq
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # w, k, is_hpc
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,  # is_ascii, n_threads, chunk
+            u64p, u64p, ctypes.c_int64, u32p,              # out_keys, out_rps, cap, out_S
+            u64p, i64p, i64p, ctypes.POINTER(ctypes.c_int64),  # flat table outs
+        ]
     _LIB = lib
     return _LIB
 
@@ -177,6 +187,55 @@ def native_build_pairs(
             chunk, keys, rps, n,
         )
     return keys[:n], rps[:n]
+
+
+def native_build_index(
+    seq: bytes | np.ndarray, seq_off: np.ndarray, w: int, k: int,
+    is_hpc: bool = False, is_ascii: bool = True,
+    n_threads: int | None = None, chunk: int = 1 << 22,
+):
+    """One-call index build from RAW sequence bytes: threaded exact scan
+    + LSD radix sort + 4-bit sequence packing + flat-table compression,
+    all in C++ — nothing round-trips through NumPy. Returns
+    (ukeys, starts, counts, positions, S): the flattened sorted-array
+    index (oracle/index.py _flatten contract) plus the packed u32
+    sequence words (index.rs:14-26,461-465), or None when the library
+    lacks the entry point."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mm2t_build_index"):
+        return None
+    if n_threads is None:
+        n_threads = max(1, os.cpu_count() or 1)
+    arr = (np.frombuffer(seq, dtype=np.uint8)
+           if isinstance(seq, (bytes, bytearray))
+           else np.ascontiguousarray(seq, dtype=np.uint8))
+    seq_off = np.ascontiguousarray(seq_off, dtype=np.int64)
+    n_seq = seq_off.shape[0] - 1
+    total_len = int(seq_off[-1])
+    S = np.zeros((total_len + 7) // 8, dtype=np.uint32)
+    # minimizer density ~2/(w+1); 0.3/base is a generous first guess
+    cap = max(int(total_len * 0.3) + 1024, 1 << 12)
+
+    def _run(cap):
+        keys = np.empty(cap, dtype=np.uint64)
+        rps = np.empty(cap, dtype=np.uint64)
+        ukeys = np.empty(cap, dtype=np.uint64)
+        starts = np.empty(cap, dtype=np.int64)
+        counts = np.empty(cap, dtype=np.int64)
+        nk = ctypes.c_int64(0)
+        n = lib.mm2t_build_index(
+            arr, seq_off, n_seq, w, k, int(is_hpc), int(is_ascii),
+            int(n_threads), chunk, keys, rps, cap, S,
+            ukeys, starts, counts, ctypes.byref(nk),
+        )
+        return n, keys, rps, ukeys, starts, counts, int(nk.value)
+
+    n, keys, rps, ukeys, starts, counts, nk = _run(cap)
+    if n < 0:
+        raise ValueError("invalid build parameters")
+    if n > cap:
+        n, keys, rps, ukeys, starts, counts, nk = _run(n)
+    return ukeys[:nk], starts[:nk], counts[:nk], rps[:n], S
 
 
 def native_mmi_selfcheck(path_or_bytes) -> int | None:
