@@ -3,17 +3,24 @@
 Sections (all emitted in ONE JSON line):
   1. headline — BASELINE.json config 3: simulated 500bp-1kb reads vs a
      reference genome, replicated index, single chip. Metric:
-     aligned read-bp/s/chip (target >= 10M, BASELINE.md).
-  2. parity — a read subsample is ALSO mapped by the reference-faithful
-     host oracle and every PAF byte compared. On real TPU this is the
-     only place the Mosaic-compiled Pallas chain kernels run, so the
-     bench FAILS (nonzero exit) on any divergence.
-  3. index_build — device index-build throughput in bp/s; vs_baseline
-     anchors to C minimap2's 278 Mbp / 7.87 s (BASELINE.md row 2).
+     aligned read-bp/s/chip (target >= 10M, BASELINE.md). All three pass
+     times and the Mapper's per-stage breakdown (submit / d2h+wait /
+     post / wide / tier2) are recorded so a regression is diagnosable
+     from the artifacts alone.
+  2. parity — FOUR configurations are mapped on device AND by the
+     reference-faithful host oracle with every PAF byte compared:
+     default (k=15/w=10, 2% error), map-hifi (k=19/w=10 — the u32-pair
+     sketch path), an HPC index, and an ONT-like 10%-error corpus.
+     On real TPU this is the only place the Mosaic-compiled Pallas chain
+     kernels run, so ANY divergence fails the bench (nonzero exit).
+  3. index_build — native + device index-build throughput in bp/s;
+     vs_baseline anchors to C minimap2's 278 Mbp / 7.87 s (BASELINE.md).
   4. longread — ONT-style 5-20 kb reads, aligned bp/s.
-  5. large — (unless --skip-large) 100 Mbp genome: device index build +
-     a mapping sample, exercising the direct-mapped table's large-genome
-     planner regimes.
+  5. large — (unless --skip-large) 100 Mbp genome: warmed median-of-3
+     device index build + a 16384-read mapping sample with a >= 256-read
+     parity gate. This section is HARD: any failure exits nonzero.
+  6. chain_vpu_util — the flagship Pallas chain kernel's achieved
+     DP-cell rate vs the v5e VPU int32 roofline.
 
 Usage: python bench.py [--reads N] [--genome-mb MB] [--skip-large] ...
 """
@@ -42,11 +49,13 @@ def main() -> int:
     ap.add_argument("--reads", type=int, default=16384)
     ap.add_argument("--genome-mb", type=float, default=5.0)
     ap.add_argument("--batch-size", type=int, default=4096)
-    ap.add_argument("--parity-stride", type=int, default=64)
+    ap.add_argument("--parity-stride", type=int, default=16)
     ap.add_argument("--longread-n", type=int, default=512)
     ap.add_argument("--large-mb", type=float, default=100.0)
+    ap.add_argument("--large-reads", type=int, default=16384)
     ap.add_argument("--skip-large", action="store_true")
     ap.add_argument("--skip-longread", action="store_true")
+    ap.add_argument("--skip-extra-parity", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -56,9 +65,11 @@ def main() -> int:
     import numpy as np
 
     from minimap2_rs_tpu.config import ChainParams, IndexParams, MapParams
-    from minimap2_rs_tpu.models.index_builder import build_index_device
+    from minimap2_rs_tpu.models.index_builder import (
+        build_index_device,
+        build_index_native,
+    )
     from minimap2_rs_tpu.models.mapper import Mapper
-    from minimap2_rs_tpu.oracle.index import build_index
     from minimap2_rs_tpu.oracle.pipeline import map_reads as oracle_map
     from minimap2_rs_tpu.utils.seqsim import random_genome, simulate_reads
 
@@ -68,12 +79,31 @@ def main() -> int:
 
     extra: dict = {}
 
+    def parity_check(tag: str, mapper, idx, rl, lines, cp, mp):
+        """Byte-compare device PAF vs the host oracle; hard assert."""
+        t0 = time.time()
+        host_lines = oracle_map(idx, rl, cp, mp)
+        names = {n for n, _ in rl}
+        dev_lines = [l for l in lines if l.split("\t", 1)[0] in names]
+        assert dev_lines == host_lines, (
+            f"PARITY FAILURE [{tag}]: device vs host oracle differ "
+            f"({len(dev_lines)} vs {len(host_lines)} lines); first diff: "
+            + next(
+                (f"{d!r} != {h!r}"
+                 for d, h in zip(dev_lines, host_lines) if d != h),
+                "line-count mismatch",
+            )
+        )
+        extra[f"parity_{tag}"] = len(rl)
+        log(f"parity[{tag}] OK on {len(rl)} reads ({time.time()-t0:.1f}s)")
+        return len(rl)
+
     # ---- 1. headline mapping throughput -----------------------------
     glen = int(args.genome_mb * 1e6)
     t0 = time.time()
     genome = random_genome(glen, seed=0)
-    idx = build_index([("chrB", genome)], IndexParams())
-    log(f"index build (host): {time.time()-t0:.1f}s, {idx.keys.shape[0]} keys")
+    idx = build_index_native([("chrB", genome)], IndexParams())
+    log(f"index build (native): {time.time()-t0:.1f}s, {idx.keys.shape[0]} keys")
 
     reads = simulate_reads(genome, args.reads, read_len=(500, 1000), seed=1)
     rl = [(n, s) for n, s, *_ in reads]
@@ -88,8 +118,14 @@ def main() -> int:
     log(f"warmup (compile): {time.time()-t0:.1f}s")
 
     # median of 3 measured passes (a single pass is ~15% noisy through
-    # the shared TPU relay; min would report the luckiest pass)
-    dt, lines, times = _median3(lambda: mapper.map_reads(rl))
+    # the shared TPU relay; min would report the luckiest pass); the
+    # per-stage Mapper stats of the LAST pass ship in the JSON so a
+    # throughput change is attributable to a stage
+    def _one_pass():
+        mapper.stats = {}
+        return mapper.map_reads(rl)
+
+    dt, lines, times = _median3(_one_pass)
     log(f"mapped {len(rl)} reads ({total_bp} bp) in {dt:.2f}s "
         f"(passes: {[round(t, 2) for t in times]}) -> {len(lines)} records")
 
@@ -97,36 +133,62 @@ def main() -> int:
     aligned_bp = sum(len(s) for n, s in rl if n in mapped_names)
     value = aligned_bp / dt
     target = 1e7  # BASELINE.md: >= 10M aligned read-bp/s/chip
-    # best pass as a secondary figure: the shared TPU relay adds ~15%
-    # run-to-run noise, so the median headline undersells quiet runs
+    extra["pass_times_s"] = [round(t, 3) for t in times]
     extra["best_pass_bp_per_s"] = round(aligned_bp / min(times), 1)
+    extra["stage_breakdown_s"] = {
+        k: round(v, 4) for k, v in mapper.stats.items()
+    }
 
-    # ---- 2. hardware parity gate -------------------------------------
-    # the device pipeline (Pallas chain kernels compiled by Mosaic when a
-    # real TPU is attached) must produce byte-identical PAF to the host
-    # oracle on a subsample; divergence fails the whole bench
-    sub = rl[:: args.parity_stride]
-    t0 = time.time()
-    host_lines = oracle_map(idx, sub, cp, mp)
-    sub_names = {n for n, _ in sub}
-    dev_lines = [l for l in lines if l.split("\t", 1)[0] in sub_names]
-    assert dev_lines == host_lines, (
-        f"PARITY FAILURE: device vs host oracle differ on the subsample "
-        f"({len(dev_lines)} vs {len(host_lines)} lines); first diff: "
-        + next(
-            (f"{d!r} != {h!r}" for d, h in zip(dev_lines, host_lines) if d != h),
-            "line-count mismatch",
-        )
+    # ---- 2. hardware parity gates ------------------------------------
+    n_parity = parity_check(
+        "default", mapper, idx, rl[:: args.parity_stride], lines, cp, mp
     )
-    extra["parity_reads"] = len(sub)
-    log(f"parity OK on {len(sub)} reads ({time.time()-t0:.1f}s)")
+
+    if not args.skip_extra_parity:
+        # map-hifi: k=19 exercises the u32-pair sketch path (keys > 32
+        # bits) that k=15 never touches
+        g2 = random_genome(2_000_000, seed=11)
+        idx19 = build_index_native([("chrH", g2)], IndexParams(w=10, k=19))
+        cp19 = ChainParams.defaults_for_k(19)
+        r19 = simulate_reads(g2, 128, read_len=(2000, 4000),
+                             error_rate=0.01, seed=13)
+        rl19 = [(n, s) for n, s, *_ in r19]
+        m19 = Mapper.from_oracle_index(idx19, cp19, mp,
+                                       batch_size=args.batch_size)
+        m19.map_reads(rl19)
+        n_parity += parity_check(
+            "hifi_k19", m19, idx19, rl19, m19.map_reads(rl19), cp19, mp
+        )
+
+        # HPC index (flag bit 0): homopolymer-compressed reference
+        # sketching; queries stay non-HPC (seeds.rs:7-11)
+        idx_hpc = build_index_native(
+            [("chrP", g2)], IndexParams(w=10, k=15, flag=1)
+        )
+        r_hpc = simulate_reads(g2, 128, read_len=(500, 1000), seed=17)
+        rl_hpc = [(n, s) for n, s, *_ in r_hpc]
+        m_hpc = Mapper.from_oracle_index(idx_hpc, cp, mp,
+                                         batch_size=args.batch_size)
+        m_hpc.map_reads(rl_hpc)
+        n_parity += parity_check(
+            "hpc", m_hpc, idx_hpc, rl_hpc, m_hpc.map_reads(rl_hpc), cp, mp
+        )
+
+        # ONT-like: 10% error, 1-2 kb — stresses banding and rescue
+        r_ont = simulate_reads(genome, 256, read_len=(1000, 2000),
+                               error_rate=0.10, seed=19)
+        rl_ont = [(n, s) for n, s, *_ in r_ont]
+        mapper.map_reads(rl_ont)
+        n_parity += parity_check(
+            "ont_10pct", mapper, idx, rl_ont, mapper.map_reads(rl_ont),
+            cp, mp,
+        )
+    extra["parity_reads"] = n_parity
 
     # ---- 3. index-build throughput ------------------------------------
     # primary = the threaded native engine (the production default: the
     # device build's result transfer is bounded by the host<->TPU link);
     # the device engine is reported alongside.
-    from minimap2_rs_tpu.models.index_builder import build_index_native
-
     recs = [("chrB", genome)]
     build_index_native(recs, IndexParams())  # warm allocators
     tn, idx_nat, _ = _median3(lambda: build_index_native(recs, IndexParams()))
@@ -155,43 +217,80 @@ def main() -> int:
         extra["longread_vs_target"] = round(l_bp / tl / target, 4)
         log(f"longread: {l_bp/tl/1e6:.1f} Mbp/s over {len(lrl)} reads")
 
-    # ---- 5. large genome ----------------------------------------------
+    # ---- 5. large genome (HARD: failures exit nonzero) ----------------
     if not args.skip_large:
-        try:
-            gl = int(args.large_mb * 1e6)
-            t0 = time.time()
-            big = random_genome(gl, seed=7)
-            log(f"large genome gen: {time.time()-t0:.1f}s")
-            t0 = time.time()
-            idx_big = build_index_native([("chrL", big)], IndexParams())
-            t_big = time.time() - t0
-            extra["large_index_build_bp_per_s"] = round(gl / t_big, 1)
-            extra["large_index_build_vs_c_minimap2"] = round(
-                gl / t_big / c_mm2_bps, 4
-            )
-            log(f"large index build: {t_big:.1f}s ({gl/t_big/1e6:.1f} Mbp/s), "
-                f"{idx_big.keys.shape[0]} keys")
-            breads = simulate_reads(big, 4096, read_len=(500, 1000), seed=9)
-            brl = [(n, s) for n, s, *_ in breads]
-            bmapper = Mapper.from_oracle_index(
-                idx_big, cp, mp, batch_size=args.batch_size
-            )
-            bmapper.map_reads(brl)  # warmup
-            tbm, blines, _ = _median3(lambda: bmapper.map_reads(brl))
-            bnames = {l.split("\t", 1)[0] for l in blines}
-            b_bp = sum(len(s) for n, s in brl if n in bnames)
-            extra["large_map_bp_per_s"] = round(b_bp / tbm, 1)
-            # parity on the large genome too (host oracle, small sample)
-            bsub = brl[::256]
-            bhost = oracle_map(idx_big, bsub, cp, mp)
-            bsubn = {n for n, _ in bsub}
-            bdev = [l for l in blines if l.split("\t", 1)[0] in bsubn]
-            assert bdev == bhost, "PARITY FAILURE on the large genome sample"
-            extra["large_parity_reads"] = len(bsub)
-            log(f"large map: {b_bp/tbm/1e6:.1f} Mbp/s, parity OK on {len(bsub)}")
-        except Exception as e:  # keep the headline recordable
-            extra["large_error"] = f"{type(e).__name__}: {e}"[:200]
-            log(f"large section failed: {e}")
+        gl = int(args.large_mb * 1e6)
+        t0 = time.time()
+        big = random_genome(gl, seed=7)
+        log(f"large genome gen: {time.time()-t0:.1f}s")
+        brecs = [("chrL", big)]
+        build_index_native(brecs, IndexParams())  # warm allocators
+        t_big, idx_big, big_times = _median3(
+            lambda: build_index_native(brecs, IndexParams())
+        )
+        extra["large_index_build_bp_per_s"] = round(gl / t_big, 1)
+        extra["large_index_build_vs_c_minimap2"] = round(
+            gl / t_big / c_mm2_bps, 4
+        )
+        extra["large_index_build_pass_times_s"] = [
+            round(t, 2) for t in big_times
+        ]
+        log(f"large index build: {t_big:.1f}s ({gl/t_big/1e6:.1f} Mbp/s), "
+            f"{idx_big.keys.shape[0]} keys")
+        breads = simulate_reads(big, args.large_reads,
+                                read_len=(500, 1000), seed=9)
+        brl = [(n, s) for n, s, *_ in breads]
+        bmapper = Mapper.from_oracle_index(
+            idx_big, cp, mp, batch_size=args.batch_size
+        )
+        bmapper.map_reads(brl)  # warmup
+        tbm, blines, btimes = _median3(lambda: bmapper.map_reads(brl))
+        bnames = {l.split("\t", 1)[0] for l in blines}
+        b_bp = sum(len(s) for n, s in brl if n in bnames)
+        extra["large_map_bp_per_s"] = round(b_bp / tbm, 1)
+        extra["large_map_pass_times_s"] = [round(t, 3) for t in btimes]
+        log(f"large map: {b_bp/tbm/1e6:.1f} Mbp/s over {len(brl)} reads")
+        # parity on the large genome too (>= 256 reads)
+        parity_check("large", bmapper, idx_big, brl[::64], blines, cp, mp)
+        extra["parity_reads"] += extra["parity_large"]
+
+    # ---- 6. chain-kernel VPU utilization ------------------------------
+    # The flagship kernel computes B*A*Hpad DP cells per call (window
+    # Hpad = A on the headline shapes). Per cell the kernel does ~30
+    # int32/f32 VPU ops (deltas, 9-term mask, min, log2 penalty, select,
+    # running max — ops/chain_pallas.py _comput_sc). v5e VPU roofline:
+    # 8x128 lanes x 4 ALUs x ~0.94 GHz ~ 3.85e12 int32 ops/s.
+    try:
+        import dataclasses as _dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from minimap2_rs_tpu.ops.chain_ops import chain_scalars_from_params
+        from minimap2_rs_tpu.ops.chain_pallas import chain_dp_aux_batch_pallas
+
+        B_u, A_u = 4096, 256
+        rng = np.random.default_rng(5)
+        grp = jnp.zeros((B_u, A_u), jnp.uint32)
+        rpos = jnp.asarray(
+            np.sort(rng.integers(0, 1 << 20, (B_u, A_u)), axis=1), jnp.int32
+        )
+        qpos = jnp.asarray(rng.integers(0, 1000, (B_u, A_u)), jnp.int32)
+        span = jnp.full((B_u, A_u), 15, jnp.int32)
+        scal = chain_scalars_from_params(cp)
+        fn = lambda: jax.block_until_ready(
+            chain_dp_aux_batch_pallas(grp, rpos, qpos, span, scal, A_u)
+        )
+        fn()  # compile
+        t_k, _, _ = _median3(fn)
+        cells = B_u * A_u * A_u
+        ops = cells * 30
+        extra["chain_cells_per_s"] = round(cells / t_k, 1)
+        extra["chain_vpu_util"] = round(ops / t_k / 3.85e12, 4)
+        log(f"chain kernel: {cells/t_k/1e9:.1f} Gcells/s, "
+            f"~{100*ops/t_k/3.85e12:.1f}% of VPU roofline")
+    except Exception as e:  # utilization is informative, not a gate
+        extra["chain_util_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": "aligned_read_bp_per_s_per_chip",

@@ -685,15 +685,15 @@ class Mapper:
                         codes[bi, :n] = enc[off : off + n]
                         off += n
                     packed4 = _pack_codes4_host(codes)
+                d_packed4, d_lengths = self._to_device(packed4, lengths)
                 if lite:
                     packed = self._device_stage_lite(
-                        jnp.asarray(packed4), jnp.asarray(lengths),
-                        M, A, scalars, window, wide=wide,
+                        d_packed4, d_lengths, M, A, scalars, window,
+                        wide=wide,
                     )
                 else:
                     packed = self._device_stage(
-                        jnp.asarray(packed4), jnp.asarray(lengths),
-                        M, A, scalars, window,
+                        d_packed4, d_lengths, M, A, scalars, window,
                     )
                 # start the device->host copy now so it overlaps the
                 # compute of later batches (the drain's np.asarray then
@@ -704,6 +704,13 @@ class Mapper:
                     pass
                 pending.append((chunk, packed, M, A, window))
         return pending
+
+    def _to_device(self, packed4, lengths):
+        """Host batch -> device arrays. MeshMapper overrides this to
+        device_put each shard directly onto its home device (the input
+        pipeline's analog of feeding ICI-local data), so the executable
+        never reshards a replicated array on call."""
+        return jnp.asarray(packed4), jnp.asarray(lengths)
 
     def _drain_pending(self, reads, pending, results, lite, mode="normal"):
         import time as _time

@@ -70,6 +70,21 @@ class MeshMapper(Mapper):
             )
         return self._sidx
 
+    def _to_device(self, packed4, lengths):
+        """Place each read shard directly on its home device: codes and
+        lengths are consumed sharded over ('dp',) or ('dp', 'ix') — a
+        replicated/committed-to-one-device array would force a serial
+        reshard inside every executable call."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = ("dp", "ix") if self.index_sharded and self._n_ix > 1 else "dp"
+        s2 = NamedSharding(self.mesh, P(axes, None))
+        s1 = NamedSharding(self.mesh, P(axes))
+        return (
+            jax.device_put(packed4, s2),
+            jax.device_put(np.asarray(lengths), s1),
+        )
+
     def _device_stage_lite(self, codes, lengths, M, A, scalars, window,
                            wide: bool = True):
         from ..parallel.pipeline import (
@@ -84,6 +99,14 @@ class MeshMapper(Mapper):
                 dataclasses.replace(self.cp, bw=self.cp.bw_long)
             )
             self._mesh_exec = {}
+        if self.index_sharded and self._n_ix > 1:
+            # hash64 spreads occurrences uniformly over the hash-range
+            # shards, so each shard needs only ~A/n_ix slots per read;
+            # keeping the full A per shard would make the post-exchange
+            # chain run at n_ix * A slots — n_ix times the replicated
+            # DP cost. A shard whose share overflows flags the read
+            # exactly (anc_ovf) and it re-runs through the 4x tier.
+            A = max(128, -(-A // self._n_ix // 128) * 128)
         # the sharded mode chains over the exchanged n_ix * A slots;
         # window/truncation-flag semantics apply to that total
         A_total = A * (self._n_ix if self.index_sharded else 1)

@@ -39,6 +39,51 @@ def unpack_codes4(codes4: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([lo, hi], axis=-1).reshape(B, codes4.shape[1] * 2)
 
 
+def sketch_compact_filter(
+    codes: jnp.ndarray,     # (B, L) int32 nt4 codes
+    lengths: jnp.ndarray,   # (B,) int32
+    *,
+    w: int, k: int, hpc: bool, q_occ_max: int, q_occ_frac: float, M: int,
+) -> dict:
+    """Index-independent per-read work: sketch, minimizer compaction,
+    key sort, query-occurrence filter (seeds.rs:7-36).
+
+    Split from the index lookup so the hash-range-sharded mesh mode can
+    run this ONCE on each read's home device and all_gather only the
+    compact (B, M) minimizer payloads to the index shards — instead of
+    re-sketching the whole dp row on every shard."""
+    ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
+    cks, cps, n_mini, mini_ovf = compact_minimizers(ks, ps, emitted, M)
+    sks, sps = sort_minimizers_by_key(cks, cps)
+    keep = query_occ_filter(sks, n_mini, q_occ_max, q_occ_frac)
+    return dict(
+        sks_hi=sks.hi, sks_lo=sks.lo, sps=sps, keep=keep,
+        cps=cps, mini_span=(cks.lo & U32(0xFF)) if hpc else None,
+        n_mini=n_mini, mini_ovf=mini_ovf,
+    )
+
+
+def lookup_expand(
+    dev_idx: DeviceIndex,
+    mini: dict,             # sketch_compact_filter output (or a gather)
+    lengths: jnp.ndarray,   # (B,) int32
+    mid_occ: jnp.ndarray,   # scalar int32
+    A: int,
+) -> dict:
+    """Index-dependent half: lookup + masked anchor expansion + per-read
+    anchor sort (seeds.rs:42-79) against (this shard of) the index."""
+    from ..ops.u64 import U64Pair
+
+    x_hi, x_lo, y_hi, y_lo, n_anchors, anc_ovf = build_anchors_device(
+        dev_idx, U64Pair(mini["sks_hi"], mini["sks_lo"]), mini["sps"],
+        mini["keep"], lengths, mid_occ, A,
+    )
+    return dict(
+        x_hi=x_hi, x_lo=x_lo, y_hi=y_hi, y_lo=y_lo,
+        n_anchors=n_anchors, anc_ovf=anc_ovf,
+    )
+
+
 def sketch_to_anchors(
     dev_idx: DeviceIndex,
     codes: jnp.ndarray,     # (B, L) int32 nt4 codes
@@ -54,19 +99,16 @@ def sketch_to_anchors(
     (padding x_hi = 0xFFFFFFFF), n_anchors, anc_ovf, position-sorted
     minimizer payloads cps (pos<<1|strand), mini_span (low key byte;
     None unless hpc), n_mini, mini_ovf."""
-    ks, ps, emitted = sketch_positions(codes, lengths, w, k, hpc)
-    cks, cps, n_mini, mini_ovf = compact_minimizers(ks, ps, emitted, M)
-    sks, sps = sort_minimizers_by_key(cks, cps)
-    keep = query_occ_filter(sks, n_mini, q_occ_max, q_occ_frac)
-    x_hi, x_lo, y_hi, y_lo, n_anchors, anc_ovf = build_anchors_device(
-        dev_idx, sks, sps, keep, lengths, mid_occ, A
+    mini = sketch_compact_filter(
+        codes, lengths, w=w, k=k, hpc=hpc,
+        q_occ_max=q_occ_max, q_occ_frac=q_occ_frac, M=M,
     )
-    return dict(
-        x_hi=x_hi, x_lo=x_lo, y_hi=y_hi, y_lo=y_lo,
-        n_anchors=n_anchors, anc_ovf=anc_ovf,
-        cps=cps, mini_span=(cks.lo & U32(0xFF)) if hpc else None,
-        n_mini=n_mini, mini_ovf=mini_ovf,
+    anc = lookup_expand(dev_idx, mini, lengths, mid_occ, A)
+    anc.update(
+        cps=mini["cps"], mini_span=mini["mini_span"],
+        n_mini=mini["n_mini"], mini_ovf=mini["mini_ovf"],
     )
+    return anc
 
 
 def chain_finalize_lite(

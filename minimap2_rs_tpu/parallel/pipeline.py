@@ -26,7 +26,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.stages import chain_finalize_lite, sketch_to_anchors, unpack_codes4
+from ..models.stages import (
+    chain_finalize_lite,
+    lookup_expand,
+    sketch_compact_filter,
+    sketch_to_anchors,
+    unpack_codes4,
+)
 from ..ops.chain_ops import chain_dp_batch
 from ..ops.index_ops import DeviceIndex
 from .sharded_index import ShardedDeviceIndex
@@ -65,9 +71,12 @@ def _chain(out, scalars, window):
 
 def _exchange_anchors(anc: dict, n_ix: int) -> dict:
     """Route each read's partial anchors from all index shards to its
-    chaining home: (B_loc, A) --all_to_all--> (B_loc/n_ix, A*n_ix),
+    chaining home: (B_row, A) --all_to_all--> (B_row/n_ix, A*n_ix),
     then re-sort the concatenated slots (padding x_hi=U32-max goes last,
-    preserving the reference's (x, y) anchor order, seeds.rs:58)."""
+    preserving the reference's (x, y) anchor order, seeds.rs:58).
+    Read block i of the dp row lands on ix device i — which is exactly
+    the device that sketched it (codes are sharded over ('dp', 'ix')),
+    so every per-read payload is already local."""
     anc = dict(anc)
 
     def ex(x):
@@ -84,23 +93,39 @@ def _exchange_anchors(anc: dict, n_ix: int) -> dict:
     return anc
 
 
-def _home_slice(anc: dict, lengths, n_ix: int):
-    """After the exchange each ix device chains reads
-    [i*B_loc/n_ix, (i+1)*B_loc/n_ix); slice the index-independent
-    per-read payloads (computed replicated within the dp row) down to
-    that home range."""
-    i = jax.lax.axis_index("ix")
-    Bh = lengths.shape[0] // n_ix
+def _sharded_anchors(sidx, codes, lengths, mid_occ, statics, n_ix):
+    """The sharded-mode front half: sketch/compact/filter each read ONCE
+    on its home device (reads sharded over BOTH mesh axes), all_gather
+    the compact (B, M) minimizer payloads across the ix shards, look up
+    the whole dp row against the LOCAL hash range, and all_to_all the
+    partial anchors back to each read's home. Returns the anc dict for
+    chain_finalize (payloads local) plus the local lengths.
 
-    def sl(a):
-        return jax.lax.dynamic_slice_in_dim(a, i * Bh, Bh, axis=0)
-
-    anc = dict(anc)
-    for kk in ("cps", "n_mini", "mini_ovf"):
-        anc[kk] = sl(anc[kk])
-    if anc.get("mini_span") is not None:
-        anc["mini_span"] = sl(anc["mini_span"])
-    return anc, sl(lengths)
+    Replaces the r2 scheme where every ix device re-sketched the full dp
+    row (the duplicated compute that sank program-only scaling): what
+    crosses ICI now is ~13 bytes/slot of minimizers + the anchors,
+    instead of every shard redoing the sketch, compaction and sorts."""
+    core = _core(statics)
+    mini = sketch_compact_filter(
+        codes, lengths,
+        w=core["w"], k=core["k"], hpc=core["hpc"],
+        q_occ_max=core["q_occ_max"], q_occ_frac=core["q_occ_frac"],
+        M=core["M"],
+    )
+    if n_ix > 1:
+        ag = lambda x: jax.lax.all_gather(x, "ix", axis=0, tiled=True)
+        row = {kk: ag(mini[kk]) for kk in ("sks_hi", "sks_lo", "sps", "keep")}
+        row_lengths = ag(lengths)
+    else:
+        row, row_lengths = mini, lengths
+    anc = lookup_expand(sidx.local(), row, row_lengths, mid_occ, core["A"])
+    if n_ix > 1:
+        anc = _exchange_anchors(anc, n_ix)
+    anc.update(
+        cps=mini["cps"], mini_span=mini["mini_span"],
+        n_mini=mini["n_mini"], mini_ovf=mini["mini_ovf"],
+    )
+    return anc
 
 
 # ---------------------------------------------------------------------
@@ -128,31 +153,20 @@ def make_map_batch_dp(mesh: Mesh, statics: dict):
 
 def make_map_batch_sharded(mesh: Mesh, statics: dict):
     """Sharded-index mapping step over mesh axes ('dp', 'ix'). codes are
-    sharded over 'dp' and replicated over 'ix'; the index over 'ix'. The
-    per-dp-row batch must be divisible by the ix axis size."""
+    sharded over BOTH axes (each device sketches only its own reads);
+    the index over 'ix'. The batch must be divisible by dp * ix."""
     n_ix = mesh.shape["ix"]
 
     def body(sidx: ShardedDeviceIndex, codes, lengths, scalars, mid_occ):
-        anc = sketch_to_anchors(
-            sidx.local(), _codes(statics, codes), lengths, mid_occ, **_core(statics)
+        anc = _sharded_anchors(
+            sidx, _codes(statics, codes), lengths, mid_occ, statics, n_ix
         )
-        if n_ix > 1:
-            anc = _exchange_anchors(anc, n_ix)
-            anc, _ = _home_slice(anc, lengths, n_ix)
-        out = _chain(anc, scalars, statics["window"])
-        if n_ix > 1:
-            # reassemble the dp row: every ix device contributes its
-            # 1/n_ix of the reads
-            out = {
-                kk: jax.lax.all_gather(val, "ix", axis=0, tiled=True)
-                for kk, val in out.items()
-            }
-        return out
+        return _chain(anc, scalars, statics["window"])
 
     fn = _shmap(
         body, mesh,
-        in_specs=(P("ix"), P("dp", None), P("dp"), P(), P()),
-        out_specs=P("dp"),
+        in_specs=(P("ix"), P(("dp", "ix"), None), P(("dp", "ix")), P(), P()),
+        out_specs=P(("dp", "ix")),
     )
     return jax.jit(fn)
 
@@ -194,33 +208,29 @@ def make_map_batch_dp_lite(mesh: Mesh, statics: dict):
 
 
 def make_map_batch_sharded_lite(mesh: Mesh, statics: dict):
-    """Hash-range-sharded FULL pipeline: lookups on each shard, anchor
-    all_to_all, chaining+finalize on the home device, all_gather of the
-    (B, 18) field rows. statics['window'] applies to the post-exchange
+    """Hash-range-sharded FULL pipeline: sketch once on each read's home
+    device, minimizer all_gather to the shards, local lookups, anchor
+    all_to_all back home, chaining+finalize local. The (B, 18) field
+    rows come out sharded over ('dp', 'ix') in read order — no
+    reassembly gather. statics['window'] applies to the post-exchange
     slot count (n_ix * A)."""
     n_ix = mesh.shape["ix"]
 
     def body(sidx: ShardedDeviceIndex, codes, lengths, scalars,
              scalars_wide, mid_occ, tlens, rs, rr):
-        anc = sketch_to_anchors(
-            sidx.local(), _codes(statics, codes), lengths, mid_occ, **_core(statics)
+        anc = _sharded_anchors(
+            sidx, _codes(statics, codes), lengths, mid_occ, statics, n_ix
         )
-        lengths_h = lengths
-        if n_ix > 1:
-            anc = _exchange_anchors(anc, n_ix)
-            anc, lengths_h = _home_slice(anc, lengths, n_ix)
-        fields = chain_finalize_lite(
-            anc, lengths_h, scalars, scalars_wide, tlens, rs, rr,
+        return chain_finalize_lite(
+            anc, lengths, scalars, scalars_wide, tlens, rs, rr,
             **_lite_kwargs(statics),
         )
-        if n_ix > 1:
-            fields = jax.lax.all_gather(fields, "ix", axis=0, tiled=True)
-        return fields
 
     fn = _shmap(
         body, mesh,
-        in_specs=(P("ix"), P("dp", None), P("dp"), P(), P(), P(), P(), P(), P()),
-        out_specs=P("dp"),
+        in_specs=(P("ix"), P(("dp", "ix"), None), P(("dp", "ix")),
+                  P(), P(), P(), P(), P(), P()),
+        out_specs=P(("dp", "ix")),
     )
     return jax.jit(fn)
 

@@ -104,10 +104,17 @@ def main() -> int:
             mm._mesh_exec = Catch()
             mm.map_reads(rl)
             mm._mesh_exec = orig
+        import numpy as np
+
         for _ in range(3):
             t0 = time.time()
             outs = [exe(*a) for exe, a in held]
-            jax.block_until_ready(outs)
+            # force to HOST: this environment's CPU backend dispatches
+            # asynchronously and jax.block_until_ready does NOT wait for
+            # execution (verified with a 4M-row sort timed at 0.0 s), so
+            # only the D2H copy proves the program ran
+            for o in outs:
+                jax.tree_util.tree_map(np.asarray, o)
             runs.append(time.time() - t0)
         return sorted(times)[1], sorted(runs)[1]
 
@@ -117,7 +124,17 @@ def main() -> int:
     peff = (p1 / pn) / args.dp
     extra = {"program_only_dp1_s": round(p1, 3),
              f"program_only_dp{args.dp}_s": round(pn, 3),
-             "program_only_efficiency": round(peff, 4)}
+             "program_only_efficiency": round(peff, 4),
+             # the host has ~2 cores which the dp=1 baseline already
+             # saturates (XLA CPU shares one compute pool across virtual
+             # devices), so wall-clock can never show a >~2x speedup
+             # here no matter how clean the program is. What IS
+             # measurable: total-work conservation — the same total
+             # reads at dp=N should take no longer than at dp=1.
+             # >= 1.0 means the dp partitioning (specs, per-device
+             # dispatch, any collectives) adds no net overhead.
+             "work_conservation_t1_over_tN": round(t1 / tn, 4),
+             "program_work_conservation": round(p1 / pn, 4)}
     if args.sharded:
         ts, ps = run(args.dp // 2, ix=2, sharded=True)
         extra["sharded_dp_ix_s"] = round(ts, 3)
