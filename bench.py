@@ -183,6 +183,19 @@ def main() -> int:
             "ont_10pct", mapper, idx, rl_ont, mapper.map_reads(rl_ont),
             cp, mp,
         )
+
+        # even k (k=14): the exact-scan device sketch (ops/sketch_scan.py)
+        # — legal reference input that r2 still routed to the host
+        idx14 = build_index_native([("chrE", g2)], IndexParams(w=10, k=14))
+        cp14 = ChainParams.defaults_for_k(14)
+        r14 = simulate_reads(g2, 128, read_len=(500, 1000), seed=23)
+        rl14 = [(n, s) for n, s, *_ in r14]
+        m14 = Mapper.from_oracle_index(idx14, cp14, mp,
+                                       batch_size=args.batch_size)
+        m14.map_reads(rl14)
+        n_parity += parity_check(
+            "even_k14", m14, idx14, rl14, m14.map_reads(rl14), cp14, mp
+        )
     extra["parity_reads"] = n_parity
 
     # ---- 3. index-build throughput ------------------------------------

@@ -533,13 +533,9 @@ class Mapper:
     # ------------------------------------------------------------------
 
     def map_reads(self, reads: list[tuple[str, bytes]]) -> list[str]:
-        """Map reads; returns PAF lines in input order."""
-        if self.idx.k % 2 == 0:
-            # Even k admits strand-symmetric k-mers whose l-counter pause
-            # (sketch.rs:67-69) the vectorized device sketch does not
-            # model (see oracle/sketch.py); route to the exact host scan,
-            # mirroring the index builder's even-k fallback.
-            return [ln for r in reads for ln in self._host_fallback(r)]
+        """Map reads; returns PAF lines in input order. All k run on
+        device: odd k through the vectorized window-min characterization,
+        even k through the exact scan recurrence (ops/sketch_scan.py)."""
         results: dict[int, list[str]] = {}
         order = sorted(range(len(reads)), key=lambda i: len(reads[i][1]))
         scalars = chain_scalars_from_params(self.cp)

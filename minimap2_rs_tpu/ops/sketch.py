@@ -180,11 +180,15 @@ def sketch_positions(
     """
     # Even k admits strand-symmetric k-mers, which pause the reference
     # scan's l counter (sketch.rs:67-69); this characterization does not
-    # model the pause (see oracle/sketch.py docstring). All production
-    # callers route even k to the exact host scan (models/index_builder.py,
-    # models/mapper.py); refuse it here so a future caller cannot silently
-    # diverge.
-    assert k % 2 == 1, "sketch_positions is exact for odd k only; even k must use the exact scan"
+    # model the pause (see oracle/sketch.py docstring), so even k runs
+    # the exact scan recurrence instead (ops/sketch_scan.py — same
+    # contract, device-resident, fuzz-verified vs the oracle scan).
+    if k % 2 == 0:
+        from .sketch_scan import sketch_positions_exact
+
+        return sketch_positions_exact(
+            codes, lengths, w, k, is_hpc, emit_final=emit_final
+        )
     B, L = codes.shape
     codes = codes.astype(I32)
     is_base = codes < 4

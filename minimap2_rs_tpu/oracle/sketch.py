@@ -184,23 +184,17 @@ def kmer_info(codes: np.ndarray, w: int, k: int, rid: int, is_hpc: bool):
     idx = np.arange(n, dtype=np.int64)
     last_bad = np.maximum.accumulate(np.where(~is_base, idx, np.int64(-1)))
 
-    # The reference never touches the k-mer registers at an N position
-    # (sketch.rs:76-78 resets l/tq/span only), so the register at position
-    # i holds the last k *ACGT* bases at <= i with Ns skipped — including
-    # stale pre-reset bases during the warm-up after an N. That stale
-    # content decides the strand-symmetry test (sketch.rs:67) which gates
-    # the l counter, so for even k (where symmetric k-mers exist) it is
-    # parity-relevant: replicate it by computing the rolling k-mers over
-    # the N-compacted sequence and scattering back. For odd k symmetric
-    # registers are impossible (a self-reverse-complement word needs a
-    # middle base equal to its own complement) and register values at
-    # valid positions (l >= k, fully in-run) are identical under both
-    # semantics, so the cheaper N-as-A substitution is exact there.
-    if k % 2 == 0:
-        pos_of = np.nonzero(is_base)[0]
-    else:
-        pos_of = idx
-    c = np.where(is_base, codes, 0).astype(np.uint64)[pos_of]
+    # Odd k only: symmetric registers are impossible (a self-reverse-
+    # complement word needs a middle base equal to its own complement),
+    # and register values at valid positions (l >= k, fully in-run) are
+    # identical whether Ns are substituted with A or skipped, so the
+    # cheap N-as-A substitution is exact. Even k (where the reference's
+    # stale-register semantics across N resets become parity-relevant,
+    # sketch.rs:65-78) is handled by the exact scan — the only caller
+    # (sketch_sequence_fast) delegates before reaching here, and the
+    # device even-k path lives in ops/sketch_scan.py.
+    assert k % 2 == 1, "kmer_info characterizes odd k only"
+    c = np.where(is_base, codes, 0).astype(np.uint64)
 
     # Rolling k-mers via log-step span doubling:
     #   fwd_s[i] = last s bases ending at i (newest base in the low bits)
@@ -222,17 +216,8 @@ def kmer_info(codes: np.ndarray, w: int, k: int, rid: int, is_hpc: bool):
             fwd_c = (fwd_prev << np.uint64(2 * t)) | (fwd_c & tmask)
             rev_c = ((rev_c >> np.uint64(2 * (s - t))) << np.uint64(2 * s)) | rev_prev
             s += t
-    if k % 2 == 0:
-        fwd = np.zeros(n, dtype=np.uint64)
-        rev = np.zeros(n, dtype=np.uint64)
-        fwd[pos_of] = fwd_c & mask
-        rev[pos_of] = rev_c & mask
-        # N positions never produce records; give them distinct fwd/rev
-        # so the sym mask below stays false there.
-        rev[~is_base] = np.uint64(1)
-    else:
-        fwd = fwd_c & mask
-        rev = rev_c & mask
+    fwd = fwd_c & mask
+    rev = rev_c & mask
 
     sym = fwd == rev
     z = (fwd > rev).astype(np.uint64)

@@ -289,10 +289,27 @@ def test_device_sketch_matches_oracle_wk(w, k):
         assert dev == exact, (b, w, k)
 
 
-def test_device_sketch_refuses_even_k():
+def test_device_sketch_even_k_dispatches_to_exact_scan():
     """Even k admits strand-symmetric k-mers the characterization does
-    not model; the kernel must refuse rather than silently diverge."""
-    codes = jnp.full((1, 128), 4, dtype=jnp.int32)
-    lengths = jnp.asarray(np.array([64], dtype=np.int32))
-    with pytest.raises(AssertionError):
-        sketch_positions(codes, lengths, 3, 16, False)
+    not model; sketch_positions routes it to the exact scan recurrence
+    (ops/sketch_scan.py) and matches the oracle scan."""
+    from minimap2_rs_tpu.oracle.sketch import sketch_sequence
+    from minimap2_rs_tpu.utils.packing import nt4_encode
+    from minimap2_rs_tpu.utils.seqsim import random_genome
+
+    seq = random_genome(600, seed=12)
+    L = -(-len(seq) // 8) * 8
+    codes = np.full((1, L), 4, np.int32)
+    codes[0, : len(seq)] = nt4_encode(seq)
+    lengths = jnp.asarray(np.array([len(seq)], dtype=np.int32))
+    ks, ps, em = sketch_positions(jnp.asarray(codes), lengths, 3, 16, False)
+    kh, kl, p, e = map(np.asarray, (ks.hi, ks.lo, ps, em))
+    sel = np.nonzero(e[0])[0]
+    dev = set(
+        zip(
+            ((kh[0, sel].astype(np.uint64) << np.uint64(32)) | kl[0, sel]).tolist(),
+            p[0, sel].tolist(),
+        )
+    )
+    oracle = {(a, b & 0xFFFFFFFF) for a, b in sketch_sequence(seq, 3, 16)}
+    assert dev == oracle
