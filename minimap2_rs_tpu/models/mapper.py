@@ -603,6 +603,7 @@ class Mapper:
         their rows (lchain.rs:321-330 semantics, batched)."""
         queue = getattr(self, "_wide_queue", [])
         self._wide_queue = []
+        self.stats["wide_reads"] = self.stats.get("wide_reads", 0) + len(queue)
         if not queue:
             return
         if not hasattr(self, "_scalars_wide"):
@@ -733,6 +734,7 @@ class Mapper:
         reference-faithful host pipeline."""
         queue = self._tier2_queue
         self._tier2_queue = []
+        self.stats["tier2_reads"] = self.stats.get("tier2_reads", 0) + len(queue)
         if not queue:
             return
         if len(queue) < 48:
