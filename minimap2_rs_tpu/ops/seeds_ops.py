@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from . import u64
-from .index_ops import DeviceIndex, gather_rows, index_lookup
+from .index_ops import DeviceIndex, index_lookup
 from .u64 import U64Pair
 
 I32 = jnp.int32
@@ -160,10 +160,12 @@ def build_anchors_device(
 
     valid = a_idx < n_anchors[:, None]
     p_idx = jnp.where(valid, g0 + a_idx, 0)
-    # interleaved (P, 2) position rows: one slice-2 gather for (rid, pos)
-    prow = gather_rows(idx.pos, p_idx, 1)[..., 0, :]
-    r_hi = prow[..., 0]  # rid
-    r_lo = prow[..., 1]  # rpos<<1|rstrand
+    # two plane gathers on the (2, P) position table: 1-D gathers keep
+    # the table in its stored layout (a (P, 2) row gather made XLA
+    # re-lay-out the whole table column-major on every call)
+    p_idx = jnp.clip(p_idx, 0, idx.pos.shape[1] - 1)
+    r_hi = idx.pos[0][p_idx]  # rid
+    r_lo = idx.pos[1][p_idx]  # rpos<<1|rstrand
 
     ps_m = jax.lax.bitcast_convert_type(g1 & I32(0x7FFFFF), U32)
     span = jax.lax.bitcast_convert_type(g1 >> 23, U32)

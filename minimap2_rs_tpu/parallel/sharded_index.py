@@ -37,7 +37,7 @@ class ShardedDeviceIndex:
     (1, ...) slice; `local()` strips the leading axis."""
 
     kv: jnp.ndarray      # (D, U_loc + S, 4) uint32 [key_hi, key_lo, start, count]
-    pos: jnp.ndarray     # (D, P_loc, 2) uint32 [rid, pos<<1|strand]
+    pos: jnp.ndarray     # (D, 2, P_loc) uint32 planes [rid], [pos<<1|strand]
     prefix: jnp.ndarray  # (D, 2^bits + 1) int32 per-shard prefix lower bounds
     dm: jnp.ndarray = None  # (D, 2^dm_bits, entry*S) per-shard direct tables
     prefix_shift: int = 0
@@ -84,11 +84,11 @@ class ShardedDeviceIndex:
 
     @property
     def pos_hi(self) -> jnp.ndarray:
-        return self.pos[:, :, 0]
+        return self.pos[:, 0]
 
     @property
     def pos_lo(self) -> jnp.ndarray:
-        return self.pos[:, :, 1]
+        return self.pos[:, 1]
 
     def local(self) -> DeviceIndex:
         """Inside shard_map: this shard's slice as a plain DeviceIndex."""
@@ -145,7 +145,7 @@ class ShardedDeviceIndex:
 
         kv = np.full((n_shards, u_loc + S, 4), 0xFFFFFFFF, dtype=np.uint32)
         kv[:, :, 3] = 0
-        pos = np.zeros((n_shards, p_loc, 2), dtype=np.uint32)
+        pos = np.zeros((n_shards, 2, p_loc), dtype=np.uint32)
         for s, (lo_k, hi_k, p_lo, p_hi) in enumerate(slices):
             n = hi_k - lo_k
             if n == 0:
@@ -156,8 +156,8 @@ class ShardedDeviceIndex:
             kv[s, :n, 2] = (starts[lo_k:hi_k] - p_lo).astype(np.uint32)
             kv[s, :n, 3] = counts[lo_k:hi_k].astype(np.uint32)
             m = p_hi - p_lo
-            pos[s, :m, 0] = (positions[p_lo:p_hi] >> np.uint64(32)).astype(np.uint32)
-            pos[s, :m, 1] = (positions[p_lo:p_hi] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            pos[s, 0, :m] = (positions[p_lo:p_hi] >> np.uint64(32)).astype(np.uint32)
+            pos[s, 1, :m] = (positions[p_lo:p_hi] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
         # one uniform direct-mapped layout across shards (one compiled
         # program serves every device); S covers the worst shard, and the
