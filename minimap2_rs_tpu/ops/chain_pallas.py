@@ -1,31 +1,39 @@
-"""Pallas TPU kernel for the chaining DP.
+"""Pallas TPU kernels for the chaining DP.
 
 Same contract as ops.chain_ops.chain_dp_batch (exact window DP,
 lchain.rs:74-91 minus the max_chain_skip heuristic), but the whole batch
-lives in VMEM for the duration of the sequential anchor loop: anchors,
-f and prev never round-trip to HBM between steps, and each step is a
-single fused block of (H, B) int32 VPU ops.
+lives in VMEM for the duration of the sequential anchor loop: anchors
+and f never round-trip to HBM between steps, and each step is a single
+fused block of (W, B) int32 VPU ops.
 
-Two layouts:
+Three kernel families (aux=True variants additionally accumulate the
+per-chain (cnt, start_q, start_r) statistics along the prev path for the
+backtrack-free finalization, finalize_ops.py):
 
-- sublane (A < 1024): arrays transposed to (A, B) so step i touches row
-  blocks — sublane-major access instead of strided column gathers.
-  Mosaic requires dynamic row offsets to be multiples of 8, so row i is
-  read from its aligned 8-row block with a one-hot reduction and row
-  writes are aligned read-modify-writes.
+- STATIC sublane (A <= 768, full window — the production short-read
+  shapes): arrays transposed to (A, B); the i-loop is fully unrolled in
+  8-row groups so EVERY memory access has a static offset (no dynamic
+  slices, no one-hot row extraction, no read-modify-writes). Each group
+  hoists its predecessor-window loads once, runs 8 micro-steps whose
+  own-row data are static slices of the hoisted block, keeps the
+  group's outputs in vector registers, and writes them once per group.
+  The per-pair mask is reduced to 4 compares (unsigned range tricks;
+  the j < i window triangle is static) from the 9-compare dynamic form.
+- dynamic sublane (A < 1024 with a truncated window — not produced by
+  the mapper, kept for API completeness): one-hot row reads + aligned
+  8-row read-modify-writes.
 - lane (A >= 1024, long reads): (B, A) with anchors along lanes;
   per-array VMEM is B*A*4 bytes with no padding waste, the window slide
   uses 128-lane-aligned dynamic slices.
 
-Work-skipping (~2-4x on the production shapes, exact by construction):
+Work-skipping (exact by construction):
 
-- BLOCK-TRIANGULAR iteration (full-window case): the DP only reads
-  predecessors j < i, but a naive step reads all A rows — half the
-  cells are dead. Steps run in 8 static column blocks; block b's steps
-  only load rows [0, hi_b), so total cells fall from A^2 to ~0.56 A^2.
+- TRIANGULAR schedule: the static kernel's group [g, g+8) only scores
+  predecessors [0, g+8), so total cells are ~0.52 A^2 instead of A^2
+  (the dynamic kernels approximate this with 8 static column blocks).
 - PADDING-TAIL SKIP: rows >= max_n (the block's largest anchor count,
   computed from the grp != -1 sentinel) are padding in EVERY read, so
-  whole blocks/steps beyond max_n are skipped (pl.when) and their
+  whole groups/steps beyond max_n are skipped (pl.when) and their
   outputs filled analytically in an epilogue: a padding row has no
   admissible predecessor (valid rows differ in grp; padding rows have
   dq == 0), so f = span, prev = -1, cnt = 1, sq/sr = own coords —
@@ -45,6 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
+U32 = jnp.uint32
 F32 = jnp.float32
 _NEG_INF = -(2**30)
 _INV_LN2 = 1.4426950216293335  # 1/ln(2) rounded through f32
@@ -52,8 +61,8 @@ _INV_LN2 = 1.4426950216293335  # 1/ln(2) rounded through f32
 
 def _comput_sc(j_abs, i, H, grp_w, rpos_w, qpos_w, span_w, f_w,
                grp_i, rpos_i, qpos_i, mdx, mdy, bw, pen_gap, pen_skip):
-    """The masked window score (comput_sc, lchain.rs:17-34), shared by
-    both kernel layouts."""
+    """The masked window score (comput_sc, lchain.rs:17-34) for the
+    dynamic-window kernels."""
     dq = qpos_i - qpos_w
     dr = rpos_i - rpos_w
     dd = jnp.abs(dr - dq)
@@ -91,12 +100,204 @@ def _blocks_for(A: int, unit: int):
 
 
 # ---------------------------------------------------------------------
-# sublane layout: (A, B), row steps
+# static sublane layout: (A, B), fully unrolled 8-row groups
+# ---------------------------------------------------------------------
+
+
+def _sublane_static_kernel(aux: bool):
+    """Build the full-window sublane kernel with an entirely static
+    schedule.
+
+    The i-loop runs as A/8 Python-unrolled groups; group g hoists the
+    predecessor window [0, g) plus its own 8-row block into values, runs
+    8 micro-steps against (window + in-registers group state), and
+    writes the outputs back once. The masked score is the reduced-op
+    form: the reference's 9-term admissibility (lchain.rs:23-28) folds
+    to
+        grp equal  AND  dq-1 <u min(mdx,mdy)  AND  dr-1 <u mdx
+        AND  dd <= bw
+    (unsigned range compares; dr < 0 never passes the original mask
+    either, because anchors are x-sorted within a grp and cross-grp
+    pairs fail the grp term), and the j < i window triangle is static.
+    """
+
+    def kernel(scal_ref, pen_ref, grp_ref, rpos_ref, qpos_ref, span_ref,
+               *out_refs, A: int):
+        B = grp_ref.shape[1]
+        mn_u = jnp.minimum(scal_ref[0], scal_ref[1]).astype(U32)
+        mdx_u = scal_ref[0].astype(U32)
+        bw = scal_ref[2]
+        pen_gap = pen_ref[0]
+        pen_skip = pen_ref[1]
+        if aux:
+            f_ref, cnt_ref, sq_ref, sr_ref = out_refs
+        else:
+            f_ref, prev_ref = out_refs
+
+        row_valid = jnp.any(grp_ref[...] != -1, axis=1)
+        max_n = jnp.sum(row_valid.astype(I32))
+
+        row8 = jax.lax.broadcasted_iota(I32, (8, B), 0)
+
+        def scores_of(grp_w, rpos_w, qpos_w, span_w, f_w, tri,
+                      grp_i, rpos_i, qpos_i):
+            dq = qpos_i - qpos_w
+            dr = rpos_i - rpos_w
+            dd = jnp.abs(dr - dq)
+            dg = jnp.minimum(dr, dq)
+            ok = (
+                (grp_w == grp_i)
+                & ((dq - 1).astype(U32) < mn_u)
+                & ((dr - 1).astype(U32) < mdx_u)
+                & (dd <= bw)
+            )
+            if tri is not None:
+                ok = ok & tri
+            sc = jnp.minimum(span_w, dg)
+            ddf = dd.astype(F32)
+            lin = pen_gap * ddf + pen_skip * dg.astype(F32)
+            # log(ddf+1) == the reference's branch exactly: dd == 0
+            # gives log(1) == 0, and in-mask dd <= bw < 2^24 is f32-exact
+            logp = jnp.log(ddf + F32(1.0)) * F32(_INV_LN2)
+            pen = (lin + F32(0.5) * logp).astype(I32)
+            sc = jnp.where((dd != 0) | (dg > span_w), sc - pen, sc)
+            return jnp.where(ok, sc + f_w, _NEG_INF)
+
+        for g8 in range(0, A, 8):
+            @pl.when(g8 < max_n)
+            def _group(g8=g8):
+                grp_blk = grp_ref[g8:g8 + 8, :]
+                rpos_blk = rpos_ref[g8:g8 + 8, :]
+                qpos_blk = qpos_ref[g8:g8 + 8, :]
+                span_blk = span_ref[g8:g8 + 8, :]
+                if g8:
+                    pre = lambda ref: ref[0:g8, :]
+                    grp_pre, rpos_pre = pre(grp_ref), pre(rpos_ref)
+                    qpos_pre, span_pre = pre(qpos_ref), pre(span_ref)
+                    f_pre = pre(f_ref)
+                    if aux:
+                        cnt_pre, sq_pre, sr_pre = (
+                            pre(cnt_ref), pre(sq_ref), pre(sr_ref)
+                        )
+                    j_pre = jax.lax.broadcasted_iota(I32, (g8, B), 0)
+                f_blk = jnp.zeros((8, B), I32)
+                if aux:
+                    cnt_blk = jnp.zeros((8, B), I32)
+                    sq_blk = jnp.zeros((8, B), I32)
+                    sr_blk = jnp.zeros((8, B), I32)
+                else:
+                    prev_blk = jnp.full((8, B), -1, I32)
+                for r in range(8):
+                    grp_i = grp_blk[r:r + 1, :]
+                    rpos_i = rpos_blk[r:r + 1, :]
+                    qpos_i = qpos_blk[r:r + 1, :]
+                    span_i = span_blk[r:r + 1, :]
+                    best = j_best = None
+                    if g8:
+                        sc_pre = scores_of(
+                            grp_pre, rpos_pre, qpos_pre, span_pre, f_pre,
+                            None, grp_i, rpos_i, qpos_i,
+                        )
+                        best = jnp.max(sc_pre, axis=0, keepdims=True)
+                        j_best = jnp.max(
+                            jnp.where(sc_pre == best, j_pre, -1),
+                            axis=0, keepdims=True,
+                        )
+                        if aux:
+                            pick = (sc_pre == best) & (j_pre == j_best)
+                            at_pre = lambda arr: jnp.max(
+                                jnp.where(pick, arr, _NEG_INF),
+                                axis=0, keepdims=True,
+                            )
+                            cnt_at = at_pre(cnt_pre)
+                            sq_at = at_pre(sq_pre)
+                            sr_at = at_pre(sr_pre)
+                    if r:
+                        sc_blk = scores_of(
+                            grp_blk, rpos_blk, qpos_blk, span_blk, f_blk,
+                            row8 < r, grp_i, rpos_i, qpos_i,
+                        )
+                        best_b = jnp.max(sc_blk, axis=0, keepdims=True)
+                        jb_rel = jnp.max(
+                            jnp.where(sc_blk == best_b, row8, -1),
+                            axis=0, keepdims=True,
+                        )
+                        if aux:
+                            pick_b = (sc_blk == best_b) & (row8 == jb_rel)
+                            at_blk = lambda arr: jnp.max(
+                                jnp.where(pick_b, arr, _NEG_INF),
+                                axis=0, keepdims=True,
+                            )
+                        jb_b = jb_rel + g8
+                        if best is None:
+                            best, j_best = best_b, jb_b
+                            if aux:
+                                cnt_at = at_blk(cnt_blk)
+                                sq_at = at_blk(sq_blk)
+                                sr_at = at_blk(sr_blk)
+                        else:
+                            # equal scores pick the larger j (the
+                            # reference scans j descending with strict
+                            # improvement, lchain.rs:80-84); block js
+                            # are all > prefix js
+                            use_b = best_b >= best
+                            j_best = jnp.where(use_b, jb_b, j_best)
+                            best = jnp.maximum(best_b, best)
+                            if aux:
+                                cnt_at = jnp.where(use_b, at_blk(cnt_blk), cnt_at)
+                                sq_at = jnp.where(use_b, at_blk(sq_blk), sq_at)
+                                sr_at = jnp.where(use_b, at_blk(sr_blk), sr_at)
+                    sel = row8 == r  # static one-hot
+                    if best is None:  # r == 0 in the first group
+                        f_blk = jnp.where(sel, span_i, f_blk)
+                        if aux:
+                            cnt_blk = jnp.where(sel, 1, cnt_blk)
+                            sq_blk = jnp.where(sel, qpos_i, sq_blk)
+                            sr_blk = jnp.where(sel, rpos_i, sr_blk)
+                        continue
+                    win = best > span_i
+                    f_blk = jnp.where(sel, jnp.where(win, best, span_i), f_blk)
+                    if aux:
+                        cnt_blk = jnp.where(sel, jnp.where(win, cnt_at + 1, 1), cnt_blk)
+                        sq_blk = jnp.where(sel, jnp.where(win, sq_at, qpos_i), sq_blk)
+                        sr_blk = jnp.where(sel, jnp.where(win, sr_at, rpos_i), sr_blk)
+                    else:
+                        prev_blk = jnp.where(sel, jnp.where(win, j_best, -1), prev_blk)
+                f_ref[g8:g8 + 8, :] = f_blk
+                if aux:
+                    cnt_ref[g8:g8 + 8, :] = cnt_blk
+                    sq_ref[g8:g8 + 8, :] = sq_blk
+                    sr_ref[g8:g8 + 8, :] = sr_blk
+                else:
+                    prev_ref[g8:g8 + 8, :] = prev_blk
+
+        # epilogue: padding rows (i >= max_n) have no admissible
+        # predecessor, so their outputs are the no-chain base case; this
+        # also covers the rows of skipped groups
+        rowA = jax.lax.broadcasted_iota(I32, (A, B), 0)
+        pad = rowA >= max_n
+        f_ref[...] = jnp.where(pad, span_ref[...], f_ref[...])
+        if aux:
+            cnt_ref[...] = jnp.where(pad, 1, cnt_ref[...])
+            sq_ref[...] = jnp.where(pad, qpos_ref[...], sq_ref[...])
+            sr_ref[...] = jnp.where(pad, rpos_ref[...], sr_ref[...])
+        else:
+            prev_ref[...] = jnp.where(pad, -1, prev_ref[...])
+
+    return kernel
+
+
+_static_kernel = _sublane_static_kernel(aux=False)
+_static_aux_kernel = _sublane_static_kernel(aux=True)
+
+
+# ---------------------------------------------------------------------
+# dynamic sublane layout: (A, B), one-hot row steps (truncated windows)
 # ---------------------------------------------------------------------
 
 
 def _sublane_kernel(aux: bool):
-    """Build the sublane-layout kernel body; aux=True accumulates
+    """Build the dynamic sublane-layout kernel body; aux=True accumulates
     per-chain (cnt, start_q, start_r) along the prev path instead of
     materializing prev."""
 
@@ -413,8 +614,8 @@ def _scal_pens(scalars):
 _LANE_LAYOUT_MIN_A = 1024
 
 
-def _call(kernel_fn, n_out, lane: bool, grp, rpos, qpos, span, scalars,
-          window: int):
+def _call(kernel_fn, n_out, lane: bool, static: bool, grp, rpos, qpos,
+          span, scalars, window: int):
     B, A = grp.shape
     H = min(window, A)
     assert A % 8 == 0, "anchor capacity must be sublane-aligned"
@@ -436,7 +637,10 @@ def _call(kernel_fn, n_out, lane: bool, grp, rpos, qpos, span, scalars,
             scal, pens, jax.lax.bitcast_convert_type(grp, I32),
             rpos.astype(I32), qpos.astype(I32), span.astype(I32),
         )
-    kernel = functools.partial(kernel_fn, A=A, H=H)
+    if static:
+        kernel = functools.partial(kernel_fn, A=A)
+    else:
+        kernel = functools.partial(kernel_fn, A=A, H=H)
     BB = _batch_blocks(B, A, 4 + n_out)
     blk = lambda: pl.BlockSpec((A, BB), lambda b: (0, b), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
@@ -460,18 +664,25 @@ def chain_dp_batch_pallas(grp, rpos, qpos, span, scalars, window: int):
     shape (B, A)."""
     B, A = grp.shape
     if A >= _LANE_LAYOUT_MIN_A:
-        return _call(_chain_kernel_lane, 2, True, grp, rpos, qpos, span,
-                     scalars, window)
-    return _call(_chain_kernel, 2, False, grp, rpos, qpos, span, scalars,
-                 window)
+        return _call(_chain_kernel_lane, 2, True, False, grp, rpos, qpos,
+                     span, scalars, window)
+    if min(window, A) >= A:
+        return _call(_static_kernel, 2, False, True, grp, rpos, qpos,
+                     span, scalars, window)
+    return _call(_chain_kernel, 2, False, False, grp, rpos, qpos, span,
+                 scalars, window)
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
 def chain_dp_aux_batch_pallas(grp, rpos, qpos, span, scalars, window: int):
-    """Drop-in replacement for chain_ops.chain_dp_aux_batch."""
+    """Drop-in replacement for chain_ops.chain_dp_aux_batch:
+    (f, cnt, sq, sr), each (B, A) int32."""
     B, A = grp.shape
     if A >= _LANE_LAYOUT_MIN_A:
-        return _call(_chain_aux_kernel_lane, 4, True, grp, rpos, qpos,
+        return _call(_chain_aux_kernel_lane, 4, True, False, grp, rpos,
+                     qpos, span, scalars, window)
+    if min(window, A) >= A:
+        return _call(_static_aux_kernel, 4, False, True, grp, rpos, qpos,
                      span, scalars, window)
-    return _call(_chain_aux_kernel, 4, False, grp, rpos, qpos, span,
-                 scalars, window)
+    return _call(_chain_aux_kernel, 4, False, False, grp, rpos, qpos,
+                 span, scalars, window)
