@@ -121,9 +121,14 @@ class DeviceIndex:
         """Build the interleaved tables from host uint64 arrays. key_bits
         bounds the hashed key width (2k)."""
         kv_np, prefix_np, shift, S = plan_prefix_layout(keys, key_bits)
-        pos_np = np.zeros((2, max(positions.shape[0], 1)), dtype=np.uint32)
-        pos_np[0, : positions.shape[0]] = (positions >> np.uint64(32)).astype(np.uint32)
-        pos_np[1, : positions.shape[0]] = (positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        P = positions.shape[0]
+        # np.empty: both planes are fully overwritten below when P >= 1;
+        # only the P == 0 sentinel column needs explicit zeroing
+        pos_np = np.empty((2, max(P, 1)), dtype=np.uint32)
+        if P == 0:
+            pos_np[:] = 0
+        pos_np[0, :P] = (positions >> np.uint64(32)).astype(np.uint32)
+        pos_np[1, :P] = (positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         kv_np[: keys.shape[0], 2] = starts.astype(np.uint32)
         kv_np[: keys.shape[0], 3] = counts.astype(np.uint32)
         dm_np, dm_p, dm_S, dm_entry = plan_direct_layout(

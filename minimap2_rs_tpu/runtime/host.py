@@ -46,11 +46,31 @@ def _params_c(p) -> _ChainParamsC:
     )
 
 
+def _enable_heap_reuse():
+    """Route large malloc/numpy allocations through brk instead of mmap
+    and never trim the heap (mallopt M_MMAP_THRESHOLD / M_TRIM_THRESHOLD).
+
+    Freed mmap chunks are unmapped immediately, so every index-build or
+    mapping pass re-faults hundreds of MB of buffers — and this
+    environment's page faults cost ~36 us each (sandboxed kernel), which
+    made the 100 Mbp build's wall time swing 3x pass-to-pass
+    (BENCH_r03). With brk reuse the pages stay mapped: steady-state
+    passes allocate fault-free. Cost: the process high-water heap is
+    kept (a few hundred MB at genome scale)."""
+    try:
+        libc = ctypes.CDLL(None)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, -1)       # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
+    _enable_heap_reuse()
     so = os.path.join(os.path.dirname(__file__), "native", "libmm2t_host.so")
     src = os.path.join(os.path.dirname(so), "mm2t_host.cpp")
     stale = not os.path.exists(so) or (
@@ -189,18 +209,47 @@ def native_build_pairs(
     return keys[:n], rps[:n]
 
 
+def _madv_huge(arr: np.ndarray) -> np.ndarray:
+    """Advise transparent huge pages for a fresh large allocation: the
+    native build faults these pages in while writing its outputs, and
+    4 KiB first-touch faults (~10 us each) were the dominant — and
+    wildly variable — cost of the 100 Mbp build (BENCH_r03
+    large_index_build_pass_times_s spread 3.2x). THP cuts the fault
+    count 512x."""
+    if arr.nbytes < (1 << 22):
+        return arr
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        addr = arr.ctypes.data
+        base = addr & ~((1 << 21) - 1)
+        # MADV_HUGEPAGE == 14 on linux
+        libc.madvise(ctypes.c_void_p(base),
+                     ctypes.c_size_t(arr.nbytes + (addr - base)), 14)
+    except Exception:
+        pass
+    return arr
+
+
+_KEYS_POOL: list[np.ndarray] = []  # grow-only scratch (never escapes)
+
+
 def native_build_index(
     seq: bytes | np.ndarray, seq_off: np.ndarray, w: int, k: int,
     is_hpc: bool = False, is_ascii: bool = True,
     n_threads: int | None = None, chunk: int = 1 << 22,
 ):
     """One-call index build from RAW sequence bytes: threaded exact scan
-    + LSD radix sort + 4-bit sequence packing + flat-table compression,
-    all in C++ — nothing round-trips through NumPy. Returns
+    with direct per-key-range partitioning + in-cache range sorts +
+    4-bit sequence packing + flat-table compression, all in C++ —
+    nothing round-trips through NumPy. Returns
     (ukeys, starts, counts, positions, S): the flattened sorted-array
     index (oracle/index.py _flatten contract) plus the packed u32
     sequence words (index.rs:14-26,461-465), or None when the library
-    lacks the entry point."""
+    lacks the entry point.
+
+    The non-unique sorted-keys scratch (the largest buffer, ~8 bytes per
+    minimizer) is pooled across calls — it never escapes, and re-faulting
+    it every build dominated wall time at genome scale."""
     lib = _load()
     if lib is None or not hasattr(lib, "mm2t_build_index"):
         return None
@@ -212,16 +261,24 @@ def native_build_index(
     seq_off = np.ascontiguousarray(seq_off, dtype=np.int64)
     n_seq = seq_off.shape[0] - 1
     total_len = int(seq_off[-1])
-    S = np.zeros((total_len + 7) // 8, dtype=np.uint32)
-    # minimizer density ~2/(w+1); 0.3/base is a generous first guess
-    cap = max(int(total_len * 0.3) + 1024, 1 << 12)
+    S = _madv_huge(np.empty((total_len + 7) // 8, dtype=np.uint32))
+    # minimizer density is ~2/(w+1); size outputs tightly (the re-call
+    # path below covers the rare overflow) — page-fault volume on these
+    # fresh arrays is a first-order cost at genome scale
+    cap = max(int(total_len * 2.3 / (w + 1)) + 65536, 1 << 12)
+
+    def _keys_scratch(cap):
+        if not _KEYS_POOL or _KEYS_POOL[0].shape[0] < cap:
+            _KEYS_POOL.clear()
+            _KEYS_POOL.append(_madv_huge(np.empty(cap, dtype=np.uint64)))
+        return _KEYS_POOL[0]
 
     def _run(cap):
-        keys = np.empty(cap, dtype=np.uint64)
-        rps = np.empty(cap, dtype=np.uint64)
-        ukeys = np.empty(cap, dtype=np.uint64)
-        starts = np.empty(cap, dtype=np.int64)
-        counts = np.empty(cap, dtype=np.int64)
+        keys = _keys_scratch(cap)
+        rps = _madv_huge(np.empty(cap, dtype=np.uint64))
+        ukeys = _madv_huge(np.empty(cap, dtype=np.uint64))
+        starts = _madv_huge(np.empty(cap, dtype=np.int64))
+        counts = _madv_huge(np.empty(cap, dtype=np.int64))
         nk = ctypes.c_int64(0)
         n = lib.mm2t_build_index(
             arr, seq_off, n_seq, w, k, int(is_hpc), int(is_ascii),

@@ -951,17 +951,21 @@ int64_t mm2t_mmi_selfcheck(const uint8_t* data, int64_t len) {
 // cross chunk boundaries) and parallelize over whole sequences only.
 // ---------------------------------------------------------------------
 
-// Full build: scan + LSD radix sort by key (16-bit digits over the 2k
-// key bits; stable, so a final tiny per-key-run sort by rps yields the
-// exact (key, rps) order of the reference's per-bucket sort_unstable,
-// index.rs:79,98) + optional 4-bit sequence packing (index.rs:461-465).
-// `is_ascii` selects the input alphabet (raw FASTA bytes vs nt4 codes);
-// `out_S` (may be null) receives ceil(total_len/8) packed u32 words.
+// Full build: scan + cache-partitioned sort + optional 4-bit sequence
+// packing (index.rs:461-465). `is_ascii` selects the input alphabet
+// (raw FASTA bytes vs nt4 codes); `out_S` (may be null) receives
+// ceil(total_len/8) packed u32 words.
 //
-// Replaces the comparison merge sort: at 100 Mbp (18.8M pairs) the radix
-// is ~2.3x faster and the direct-emit scan removes the staging-buffer
-// and concat copies (the reference's own build-time story is the C
-// anchor, README.md:6 / BASELINE.md rows 1-4).
+// Sort design (r4): the scan emits each pair straight into one of R
+// per-thread arenas bucketed by the key's TOP bits (hash64 output, so
+// uniform), which replaces the LSD radix's giant random scatter — at
+// 100 Mbp the 2-pass scatter walked 300 MB of 16-byte random writes
+// twice and dominated the build (2.2-12 s, TLB/THP-luck dependent).
+// Each range is then sorted independently IN CACHE (a few hundred KB)
+// by (key, rps) and written to its final location sequentially, in
+// parallel over ranges. The result is bit-identical to the reference's
+// per-bucket sort_unstable + per-key position sort (index.rs:79,98):
+// (key, rps) pairs are unique, so (key, rps) order is total.
 //
 // Returns the total pair count; pairs beyond `cap` are not written (the
 // caller re-calls with a bigger buffer). Negative on invalid params.
@@ -1015,13 +1019,27 @@ int64_t mm2t_build_index(
     }
   }
 
-  // ---- phase 1: threaded scan, direct emission into per-thread arenas
+  // key-range partitioning: R ranges over the key's top bits (hash64
+  // keys are uniform), sized so one range sorts inside L2
+  using Pair = std::pair<uint64_t, uint64_t>;
+  const int key_bits = 2 * k;
+  const double exp_pairs = total_len * 2.0 / (w + 1) + 1.0;
+  int rb = 0;
+  while ((1 << rb) < (int)std::min(exp_pairs / 32768.0, 2048.0)) ++rb;
+  if (rb > key_bits) rb = key_bits;
+  const int R = 1 << rb;
+  const int rshift = key_bits - rb;
+
+  // ---- phase 1: threaded scan, direct emission into per-(thread,
+  // range) arenas — the partition pass rides the scan for free
   std::atomic<int64_t> next(0);
-  std::vector<std::vector<std::pair<uint64_t, uint64_t>>> parts(n_threads);
+  std::vector<std::vector<std::vector<Pair>>> parts(
+      n_threads, std::vector<std::vector<Pair>>(R));
   auto worker = [&](int t) {
     auto& out = parts[t];
-    // ~2/(w+1) emissions per base plus slack; growth is amortized
-    out.reserve((size_t)(total_len / n_threads * 2.2 / (w + 1)) + 1024);
+    // ~2/(w+1) emissions per base split over R ranges, plus slack
+    const size_t per = (size_t)(exp_pairs / n_threads / R * 1.3) + 16;
+    for (auto& v : out) v.reserve(per);
     for (;;) {
       const int64_t i = next.fetch_add(1);
       if (i >= (int64_t)plan.size()) break;
@@ -1041,7 +1059,8 @@ int64_t mm2t_build_index(
             if (pos_l < own_lo || pos_l >= own_hi) return;
             const uint64_t y_g =
                 (y & ~0xffffffffULL) | (((pos_l + base) << 1) | (y & 1));
-            out.emplace_back(key_span >> 8, y_g);
+            const uint64_t kk = key_span >> 8;
+            out[kk >> rshift].emplace_back(kk, y_g);
           });
     }
   };
@@ -1073,131 +1092,76 @@ int64_t mm2t_build_index(
     mark("pack");
   }
 
-  int64_t total = 0;
-  for (auto& v : parts) total += (int64_t)v.size();
+  // ---- phase 2: per-range in-cache sort + sequential write --------
+  // range r's final slot is [range_off[r], range_off[r+1]); each range
+  // gathers its per-thread segments into a thread-local scratch, sorts
+  // by (key, rps) — a few hundred KB, so the whole sort stays in L2 —
+  // and writes out sequentially. No cross-range traffic, no scatter.
+  std::vector<int64_t> range_off(R + 1, 0);
+  for (int r = 0; r < R; ++r) {
+    int64_t c = 0;
+    for (int t = 0; t < n_threads; ++t) c += (int64_t)parts[t][r].size();
+    range_off[r + 1] = range_off[r] + c;
+  }
+  const int64_t total = range_off[R];
   if (total > cap) return total;
-  if (total == 0) return 0;
-
-  // ---- phase 2: LSD radix sort by key, 16-bit digits --------------
-  const int key_bits = 2 * k;
-  const int DIG = 16;
-  const int NB = 1 << DIG;
-  const int npass = (key_bits + DIG - 1) / DIG;
-  // all digit histograms in ONE read pass (digits never change)
-  std::vector<std::vector<int64_t>> hist(npass, std::vector<int64_t>(NB, 0));
+  if (total == 0) {
+    if (out_nkeys) *out_nkeys = 0;
+    return 0;
+  }
   {
-    std::vector<std::thread> ht;
-    std::vector<std::vector<std::vector<int64_t>>> lh(
-        n_threads,
-        std::vector<std::vector<int64_t>>(npass, std::vector<int64_t>(NB, 0)));
-    for (int t = 0; t < n_threads; ++t)
-      ht.emplace_back([&, t] {
-        for (auto& pr : parts[t])
-          for (int ps = 0; ps < npass; ++ps)
-            lh[t][ps][(pr.first >> (DIG * ps)) & (NB - 1)]++;
-      });
-    for (auto& th : ht) th.join();
-    for (int t = 0; t < n_threads; ++t)
-      for (int ps = 0; ps < npass; ++ps)
-        for (int b = 0; b < NB; ++b) hist[ps][b] += lh[t][ps][b];
-  }
-  mark("hist");
-  for (int ps = 0; ps < npass; ++ps) {  // exclusive prefix sums
-    int64_t acc = 0;
-    for (int b = 0; b < NB; ++b) {
-      const int64_t c = hist[ps][b];
-      hist[ps][b] = acc;
-      acc += c;
-    }
-  }
-  using Pair = std::pair<uint64_t, uint64_t>;
-  // transparent huge pages: the scatter writes 16-byte records at random
-  // offsets across hundreds of MB — TLB misses dominate with 4 KiB pages
-  auto big_alloc = [](size_t n) -> Pair* {
-    void* p = nullptr;
-    if (posix_memalign(&p, 1 << 21, n * sizeof(Pair))) return nullptr;
-#ifdef MADV_HUGEPAGE
-    madvise(p, n * sizeof(Pair), MADV_HUGEPAGE);
-#endif
-    return (Pair*)p;
-  };
-  Pair* tmpA = big_alloc((size_t)total);
-  Pair* tmpB = npass >= 3 ? big_alloc((size_t)total) : nullptr;
-  if (!tmpA || (npass >= 3 && !tmpB)) {
-    free(tmpA);
-    free(tmpB);
-    return -2;
-  }
-  auto scatter_to = [&](const Pair* src, int64_t n, int ps, Pair* dst,
-                        std::vector<int64_t>& off) {
-    for (int64_t i = 0; i < n; ++i)
-      dst[off[(src[i].first >> (DIG * ps)) & (NB - 1)]++] = src[i];
-  };
-  auto scatter_split = [&](const Pair* src, int64_t n, int ps,
-                           std::vector<int64_t>& off) {
-    for (int64_t i = 0; i < n; ++i) {
-      const int64_t j = off[(src[i].first >> (DIG * ps)) & (NB - 1)]++;
-      out_keys[j] = src[i].first;
-      out_rps[j] = src[i].second;
-    }
-  };
-  {
-    // pass 0 streams straight out of the per-thread arenas
-    auto& off0 = hist[0];
-    if (npass == 1) {
-      for (auto& v : parts) {
-        for (auto& pr : v) {
-          const int64_t j = off0[pr.first & (NB - 1)]++;
-          out_keys[j] = pr.first;
-          out_rps[j] = pr.second;
+    std::atomic<int> next_r(0);
+    auto sort_worker = [&] {
+      std::vector<Pair> scratch;
+      for (;;) {
+        const int r = next_r.fetch_add(1);
+        if (r >= R) break;
+        const int64_t n = range_off[r + 1] - range_off[r];
+        if (n == 0) continue;
+        scratch.clear();
+        scratch.reserve(n);
+        for (int t = 0; t < n_threads; ++t) {
+          auto& v = parts[t][r];
+          scratch.insert(scratch.end(), v.begin(), v.end());
+          v.clear();
+          v.shrink_to_fit();
         }
-        v.clear();
-        v.shrink_to_fit();
+        std::sort(scratch.begin(), scratch.end());
+        uint64_t* ok_ = out_keys + range_off[r];
+        uint64_t* or_ = out_rps + range_off[r];
+        for (int64_t i = 0; i < n; ++i) {
+          ok_[i] = scratch[i].first;
+          or_[i] = scratch[i].second;
+        }
       }
-    } else {
-      for (auto& v : parts) {
-        scatter_to(v.data(), (int64_t)v.size(), 0, tmpA, off0);
-        v.clear();
-        v.shrink_to_fit();
-      }
-      Pair* cur = tmpA;
-      Pair* alt = tmpB;
-      for (int ps = 1; ps < npass - 1; ++ps) {
-        scatter_to(cur, total, ps, alt, hist[ps]);
-        std::swap(cur, alt);
-      }
-      scatter_split(cur, total, npass - 1, hist[npass - 1]);
-    }
+    };
+    std::vector<std::thread> st;
+    for (int t = 1; t < n_threads; ++t) st.emplace_back(sort_worker);
+    sort_worker();
+    for (auto& th : st) th.join();
   }
-  free(tmpA);
-  free(tmpB);
-  mark("scatter");
+  mark("sort");
 
-  // ---- phase 3: within-key runs -> sort by rps ---------------------
-  // The stable radix leaves equal-key runs in emission order; the
-  // reference sorts each key's positions (index.rs:98). Runs are tiny
-  // (avg occurrence ~1.9), so this is a linear walk. The exact scan
-  // emits each (key, position) at most once for odd k
-  // (tests/test_native_build.py fuzzes this), so no dedup is needed.
-  {
-    const bool flat = out_ukeys && out_starts && out_counts && out_nkeys;
+  // ---- phase 3: flatten unique-key runs ----------------------------
+  // (key, rps) pairs are already fully sorted; this is a linear
+  // run-length walk. The exact scan emits each (key, position) at most
+  // once for odd k (tests/test_native_build.py fuzzes this), so no
+  // dedup is needed.
+  if (out_ukeys && out_starts && out_counts && out_nkeys) {
     int64_t i = 0, nk = 0;
     while (i < total) {
       int64_t j = i + 1;
       const uint64_t kk = out_keys[i];
       while (j < total && out_keys[j] == kk) ++j;
-      if (j - i > 1) std::sort(out_rps + i, out_rps + j);
-      if (flat) {
-        out_ukeys[nk] = kk;
-        out_starts[nk] = i;
-        out_counts[nk] = j - i;
-        ++nk;
-      }
+      out_ukeys[nk] = kk;
+      out_starts[nk] = i;
+      out_counts[nk] = j - i;
+      ++nk;
       i = j;
     }
-    if (out_nkeys) *out_nkeys = nk;
+    *out_nkeys = nk;
   }
-  mark("fixup");
+  mark("flatten");
   return total;
 }
 
