@@ -218,27 +218,31 @@ def main(argv: list[str] | None = None) -> int:
                     index_sharded=args.index_shards > 1,
                     batch_size=args.batch_size,
                 )
-                lines = mapper.map_reads(reads)
+                blob = mapper.map_reads_paf(reads)
                 stats = dict(mapper.stats)
             elif engine == "device":
                 from .models.mapper import Mapper
 
                 mapper = Mapper.from_oracle_index(idx, cp, mp, batch_size=args.batch_size)
-                lines = mapper.map_reads(reads)
+                blob = mapper.map_reads_paf(reads)
                 stats = dict(mapper.stats)
             else:
                 lines = map_reads(idx, reads, cp, mp)
+                blob = ("\n".join(lines) + "\n").encode() if lines else b""
                 stats = {}
         if args.stats:
             total_bp = sum(len(s) for _, s in reads)
             print_stage_stats(stats, len(reads), total_bp, time.time() - t0)
+        # bytes end-to-end: the device engines keep PAF output as one
+        # blob (the batched analog of main.rs:189-230's output stage)
         if args.output and args.output != "-":
-            with open(args.output, "w") as f:
-                for line in lines:
-                    f.write(line + "\n")
+            with open(args.output, "wb") as f:
+                f.write(blob)
         else:
-            for line in lines:
-                print(line)
+            import sys as _sys
+
+            _sys.stdout.buffer.write(blob)
+            _sys.stdout.buffer.flush()
         return 0
 
     return 1
@@ -247,10 +251,12 @@ def main(argv: list[str] | None = None) -> int:
 def _anchors_for(idx: OracleIndex, q: bytes, mid_occ: int, engine: str) -> np.ndarray:
     """Anchors for one query: device pipeline (sketch -> lookup -> routed
     expansion -> sort) or the host oracle. Device output is asserted
-    against no silent truncation; overflow or even k falls back to host."""
+    against no silent truncation; overflow falls back to host. Every
+    legal k runs on device (even k via the exact scan recurrence,
+    ops/sketch_scan.py)."""
     if engine == "auto":
         engine = _auto_engine()
-    if engine == "device" and idx.k % 2 == 1:
+    if engine == "device":
         out = _device_anchors(idx, q, mid_occ)
         if out is not None:
             return out

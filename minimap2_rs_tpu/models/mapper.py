@@ -12,10 +12,14 @@ Reads are bucketed by length into static shapes; reads whose minimizer or
 anchor population overflows the bucket's padded capacity fall back to the
 reference-faithful host pipeline, so output is always complete.
 
-The rescue pass (lchain.rs:321-330) re-runs only the chaining DP with the
-wide band for the subset of reads whose best chain covers too little of
-the query — a second traced call with different ChainScalars, no
-recompilation.
+The rescue pass (lchain.rs:321-330) is resolved ON DEVICE: the lite path
+computes both the normal and bw_long bands and switches rows whose
+rescue flag fired (models/stages.py). The second band costs a few ms of
+chain DP; a separate re-run device call would pay the ~27 ms host<->TPU
+relay round-trip — on this relay, SYNC COUNT, not device compute, is
+the first-order cost of a mapping pass, so the design minimizes calls:
+big batches (slot_target), dual-band, and bytes-end-to-end output
+(map_reads_paf).
 """
 
 from __future__ import annotations
@@ -296,10 +300,13 @@ class Mapper:
     buckets: tuple[int, ...] = (
         1024, 2048, 4096, 8192, 12288, 16384, 24576, 32768, 49152, 65536
     )
-    # max reads per device call; every host<->device sync costs ~25 ms
+    # max reads per device call; every host<->device sync costs ~27 ms
     # through the TPU relay, so calls are sized by total anchor slots
-    # (SLOT_TARGET) and capped here
-    batch_size: int = 4096
+    # (SLOT_TARGET) and capped here. The chain kernel at short-read
+    # shapes runs at ~2.4 ms per 4096 reads per band (prof_sync.py), so
+    # big calls amortize the relay latency: a 16k-read pass should be
+    # ~2 calls, not 5.
+    batch_size: int = 8192
     # minimizer density is 2/(w+1) ~ 0.18/base and anchors ~0.8x that on
     # non-repetitive genomes (the occ filters drop some); reads that
     # overflow the padded slots are flagged exactly and re-run on device
@@ -309,7 +316,7 @@ class Mapper:
     # chain-DP cost 28% vs the old 0.25.
     mini_frac: float = 0.22   # minimizer slots per base of bucket
     anchor_frac: float = 0.18  # anchor slots per base of bucket
-    slot_target: int = 1 << 20  # anchor slots per device call
+    slot_target: int = 2 << 20  # anchor slots per device call
     # lite-path chain window cap (slots): anchors within max_dist_x
     # average ~740 slots at w=10 emission density, so 1024 covers typical
     # reads; denser reads are flagged exactly (win_ovf) and re-run wider
@@ -409,19 +416,11 @@ class Mapper:
         return self._lite_exec[key](*args)
 
     def _postprocess_lite(self, reads, chunk, fields, results, mode="normal"):
-        """Format PAF lines from the device's (B, 18) field rows.
-
-        Modes:
-          "lazy"   — phase 1 of the lazy dual-band: rows whose rescue
-                     flag fired (and did not overflow) are queued for the
-                     wide-band re-run instead of formatting; overflow
-                     goes to the 4x device tier.
-          "wide"   — the wide-band re-run: rows replace phase-1 results;
-                     overflow (now against bw_long's max_dist_x) goes to
-                     the 4x tier; the rescue flag is ignored (rescue was
-                     decided by the normal band, lchain.rs:321-326).
-          "normal" — device-merged dual-band rows; overflow to the tier.
-          "tier2"  — final: residual overflow to the host pipeline.
+        """Route the device's merged dual-band (B, 18) field rows: clean
+        rows become PAF line bytes (stored as zero-copy memoryview
+        slices of the batch blob — bytes end-to-end until the output
+        write), overflow rows requeue to the 4x tier ("normal") or fall
+        back to the host pipeline ("tier2").
 
         Formatting runs in the native runtime (mm2t_format_lite) when
         built; the Python loop below is the bit-identical fallback."""
@@ -429,26 +428,22 @@ class Mapper:
 
         self._ensure_meta()
         col = {name: i for i, name in enumerate(FIELDS)}
-        requeue = mode in ("lazy", "wide", "normal")
+        requeue = mode == "normal"
         if not os.environ.get("MM2T_NO_NATIVE"):
             from ..runtime.host import native_format_lite
 
             n = len(chunk)
-            # lazy mode writes the rescue suppression below; jax->numpy
-            # views are read-only, so take a real copy there
-            fr = (np.array(fields[:n]) if mode == "lazy"
-                  else np.ascontiguousarray(fields[:n]))
+            fr = np.ascontiguousarray(fields[:n])
             ovf_m = (
                 (fr[:, col["mini_ovf"]] != 0)
                 | (fr[:, col["anc_ovf"]] != 0)
                 | (fr[:, col["win_ovf"]] != 0)
             )
-            if mode == "lazy":
-                resc = (fr[:, col["rescue"]] != 0) & ~ovf_m
-                # suppress the normal-band line; the wide pass replaces it
-                fr[resc, col["n_anchors"]] = 0
-            else:
-                resc = np.zeros(n, dtype=bool)
+            # the rescue col carries the normal band's flag post-merge
+            # (stages.py): count device-resolved wide-band switches
+            self.stats["wide_reads"] = self.stats.get("wide_reads", 0) + int(
+                ((fr[:, col["rescue"]] != 0) & ~ovf_m).sum()
+            )
             dv_n = _dv_from_fields(fr, col)
             qlens = np.fromiter(
                 (len(reads[ri][1]) for ri in chunk), dtype=np.int32, count=n
@@ -461,22 +456,14 @@ class Mapper:
             )
             if out is not None:
                 blob, off = out
-                # line offsets are BYTE offsets; whole-blob str slicing is
-                # only safe when every byte is one char
-                text = blob.decode("ascii") if blob.isascii() else None
+                bmv = memoryview(blob)
                 # plain bools: numpy scalar boxing dominates the loop
                 ovf = ovf_m.tolist()
-                rescl = resc.tolist()
                 offl = off.tolist()
                 for bi, ri in enumerate(chunk):
                     a, b = offl[bi], offl[bi + 1]
-                    if rescl[bi]:
-                        self._wide_queue.append(ri)
-                    elif b > a:
-                        results[ri] = [
-                            text[a:b] if text is not None
-                            else blob[a:b].decode()
-                        ]
+                    if b > a:
+                        results[ri] = [bmv[a:b]]
                     elif ovf[bi]:
                         if requeue:
                             self._tier2_queue.append(ri)
@@ -498,9 +485,8 @@ class Mapper:
                 else:
                     results[ri] = self._host_fallback(reads[ri])
                 continue
-            if mode == "lazy" and row[col["rescue"]]:
-                self._wide_queue.append(ri)
-                continue
+            if row[col["rescue"]]:
+                self.stats["wide_reads"] = self.stats.get("wide_reads", 0) + 1
             if row[col["n_anchors"]] == 0:
                 results[ri] = []
                 continue
@@ -513,13 +499,13 @@ class Mapper:
             strand = "-" if rev else "+"
             wqs, wqe = (qlen - qe, qlen - qs) if rev else (qs, qe)
             s1 = max(row[col["score"]], 0)
-            results[ri] = [
+            results[ri] = [(
                 f"{qname}\t{qlen}\t{wqs}\t{wqe}\t{strand}\t"
                 f"{tnames[rid]}\t{tlens[rid]}\t{ts}\t{te}\t"
                 f"{max(qe - qs, 0)}\t{max(te - ts, 0)}\t{mapq}\t"
                 f"tp:A:P\tcm:i:{row[col['cm']]}\ts1:i:{s1}\ts2:i:0\t"
                 f"dv:f:{dv_list[bi]:.4f}\trl:i:0"
-            ]
+            ).encode()]
 
     def _rescue_stage(self, x_hi, x_lo, y_hi, y_lo, window: int):
         p2 = dataclasses.replace(self.cp, bw=self.cp.bw_long)
@@ -532,11 +518,15 @@ class Mapper:
 
     # ------------------------------------------------------------------
 
-    def map_reads(self, reads: list[tuple[str, bytes]]) -> list[str]:
-        """Map reads; returns PAF lines in input order. All k run on
-        device: odd k through the vectorized window-min characterization,
-        even k through the exact scan recurrence (ops/sketch_scan.py)."""
-        results: dict[int, list[str]] = {}
+    def map_reads_paf(self, reads: list[tuple[str, bytes]]) -> bytes:
+        """Map reads; returns the PAF output as ONE newline-terminated
+        bytes blob in input order — the production API: device field
+        rows are formatted to bytes by the native runtime and stay bytes
+        (zero-copy memoryview slices) until this single join. All k run
+        on device: odd k through the vectorized window-min
+        characterization, even k through the exact scan recurrence
+        (ops/sketch_scan.py)."""
+        results: dict[int, list] = {}
         order = sorted(range(len(reads)), key=lambda i: len(reads[i][1]))
         scalars = chain_scalars_from_params(self.cp)
 
@@ -560,29 +550,19 @@ class Mapper:
 
         # phase 1: submit every batch to the device (async dispatch) so
         # TPU compute and device->host transfers overlap with the host
-        # postprocessing of earlier batches. The lite path runs the
-        # NORMAL band only (wide=False): the bw_long band — half the DP
-        # cost — is computed lazily in phase 2.2 for the (rare) reads
-        # whose rescue flag fired (lchain.rs:321-330).
+        # postprocessing of earlier batches. The lite path computes BOTH
+        # bands (dual-band, wide=True) and resolves the rescue switch
+        # (lchain.rs:321-330) ON DEVICE: the second band costs a few ms
+        # of DP while a separate wide-band re-run call would pay the
+        # ~27 ms host<->TPU relay round-trip.
         t0 = _time.time()
-        pending = self._submit_groups(
-            reads, groups, scalars, lite, mult=1, wide=False
-        )
+        pending = self._submit_groups(reads, groups, scalars, lite, mult=1)
         self._t("submit", _time.time() - t0)
 
         # phase 2: pull + postprocess in submission order
         self._rescue_queue: list = []
         self._tier2_queue: list = []
-        self._wide_queue: list = []
-        self._drain_pending(reads, pending, results, lite,
-                            mode="lazy" if lite else "normal")
-
-        # phase 2.2: lazy wide band — rescued reads re-run the SAME
-        # executable with the bw_long scalars (scalars are traced args,
-        # so no recompile)
-        t4 = _time.time()
-        self._drain_wides_lite(reads, results, lite)
-        self._t("wide", _time.time() - t4)
+        self._drain_pending(reads, pending, results, lite, mode="normal")
 
         # phase 2.5: capacity-overflow reads re-run on device at 4x slots
         t4 = _time.time()
@@ -590,36 +570,19 @@ class Mapper:
         self._t("tier2", _time.time() - t4)
 
         # phase 3: one batched wide-band rescue pass for all queued reads
-        # (general path only; the lite path resolved rescue in 2.2)
+        # (general path only; the lite path resolved rescue on device)
         t4 = _time.time()
         self._drain_rescues(reads, results)
         self._t("rescue", _time.time() - t4)
 
-        return [line for i in range(len(reads)) for line in results.get(i, [])]
+        parts = [line for i in range(len(reads)) for line in results.get(i, [])]
+        return b"\n".join(parts) + b"\n" if parts else b""
 
-    def _drain_wides_lite(self, reads, results, lite):
-        """Phase 2.2: reads whose normal-band rescue flag fired re-run
-        with the wide-band scalars (one band, wide=False), replacing
-        their rows (lchain.rs:321-330 semantics, batched)."""
-        queue = getattr(self, "_wide_queue", [])
-        self._wide_queue = []
-        self.stats["wide_reads"] = self.stats.get("wide_reads", 0) + len(queue)
-        if not queue:
-            return
-        if not hasattr(self, "_scalars_wide"):
-            self._scalars_wide = chain_scalars_from_params(
-                dataclasses.replace(self.cp, bw=self.cp.bw_long)
-            )
-        groups: dict[int, list[int]] = {}
-        for ri in queue:
-            L = len(reads[ri][1])
-            bucket = next(b for b in self.buckets if L <= b)
-            groups.setdefault(bucket, []).append(ri)
-        pending = self._submit_groups(
-            reads, groups, self._scalars_wide, lite, mult=1, wide=False,
-            b_cap=True,
-        )
-        self._drain_pending(reads, pending, results, lite, mode="wide")
+    def map_reads(self, reads: list[tuple[str, bytes]]) -> list[str]:
+        """map_reads_paf decoded into a list of PAF line strings (test
+        and parity-harness convenience)."""
+        blob = self.map_reads_paf(reads)
+        return blob.decode().split("\n")[:-1] if blob else []
 
     def _shapes_for(self, bucket: int, mult: int):
         """Padded capacities and reads-per-call for a length bucket.
@@ -636,10 +599,9 @@ class Mapper:
         return M, A, window, B
 
     def _submit_groups(self, reads, groups, scalars, lite, mult=None,
-                       wide=True, b_cap=None):
+                       b_cap=None):
         """groups: {bucket: [ri...]} with uniform `mult`, or
-        {(bucket, mult): [ri...]} when mult is None. `wide` selects the
-        lite stage's dual-band (True) vs single-band (False) program.
+        {(bucket, mult): [ri...]} when mult is None.
         b_cap shrinks the padded batch dimension toward the group size
         (rounded up to 128) — the re-run queues carry a few hundred reads
         at most, and a full-B padded call costs ~B regardless of how few
@@ -682,11 +644,14 @@ class Mapper:
                         codes[bi, :n] = enc[off : off + n]
                         off += n
                     packed4 = _pack_codes4_host(codes)
+                self.stats["h2d_bytes"] = (
+                    self.stats.get("h2d_bytes", 0)
+                    + packed4.nbytes + lengths.nbytes
+                )
                 d_packed4, d_lengths = self._to_device(packed4, lengths)
                 if lite:
                     packed = self._device_stage_lite(
                         d_packed4, d_lengths, M, A, scalars, window,
-                        wide=wide,
                     )
                 else:
                     packed = self._device_stage(
@@ -716,6 +681,9 @@ class Mapper:
             t1 = _time.time()
             if lite:
                 fields = np.asarray(packed)
+                self.stats["d2h_bytes"] = (
+                    self.stats.get("d2h_bytes", 0) + fields.nbytes
+                )
                 t2 = _time.time()
                 self._postprocess_lite(reads, chunk, fields, results, mode=mode)
             else:
@@ -820,12 +788,12 @@ class Mapper:
             mlen = max(qe - qs, 0)
             blen = max(te - ts, 0)
             tp = "P" if m == 0 else "S"
-            lines.append(
+            lines.append((
                 f"{qname}\t{qlen}\t{wqs}\t{wqe}\t{strand}\t"
                 f"{self._tnames[rid]}\t{tlens[rid]}\t{ts}\t{te}\t{mlen}\t"
                 f"{blen}\t{self.mp.mapq}\ttp:A:{tp}\tcm:i:{cm}\t"
                 f"s1:i:{s1}\ts2:i:{s2}\tdv:f:{dv[m]:.4f}\trl:i:0"
-            )
+            ).encode())
         return lines
 
     def _drain_rescues(self, reads, results):
@@ -940,9 +908,12 @@ class Mapper:
                 anchors, chains_merged, scores[: len(chains_merged)],
                 self.mp.mask_level, self.mp.pri_ratio, self.mp.best_n,
             )
-            results[ri] = write_paf_many_with_scores(
-                self.idx, anchors, sel, s1, s2, qname, qseq, mv=mv
-            )
+            results[ri] = [
+                l.encode()
+                for l in write_paf_many_with_scores(
+                    self.idx, anchors, sel, s1, s2, qname, qseq, mv=mv
+                )
+            ]
 
     def _mv_list(self, out, bi) -> list[tuple[int, int]]:
         """Device minimizers (position-sorted) as (key_span, rps) pairs for
@@ -966,6 +937,11 @@ class Mapper:
                 return out
         return olchain.backtrack(anchors, f, v, prev, cp)
 
-    def _host_fallback(self, read) -> list[str]:
+    def _host_fallback(self, read) -> list[bytes]:
         qname, qseq = read
-        return opipeline.align_read(self.idx, qname, qseq, self.cp, self.mp, mid_occ=self.mid_occ)
+        return [
+            l.encode()
+            for l in opipeline.align_read(
+                self.idx, qname, qseq, self.cp, self.mp, mid_occ=self.mid_occ
+            )
+        ]

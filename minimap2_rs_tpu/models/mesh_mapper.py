@@ -137,6 +137,16 @@ class MeshMapper(Mapper):
                 make_map_batch_sharded_lite if self.index_sharded
                 else make_map_batch_dp_lite
             )
+            if self.index_sharded and self._n_ix > 1:
+                # record the exact ICI payload of this program once per
+                # compile (SCALING.json feeds on it; VERDICT r3 weak #6)
+                from ..parallel.pipeline import sharded_payload_bytes
+
+                B_row = codes.shape[0] // self._n_dp
+                self.stats.setdefault("ici_payload", {}).update(
+                    {str(key[0]): sharded_payload_bytes(
+                        statics, B_row, self._n_ix)}
+                )
             # AOT-compile per shape (see Mapper._device_stage_lite: the
             # relay's jit cache mis-marshals XLA-hoisted constants)
             self._mesh_exec[key] = maker(self.mesh, statics).lower(*args).compile()

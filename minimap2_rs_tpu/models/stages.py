@@ -206,6 +206,12 @@ def chain_finalize_lite(
         ))
     if not wide:
         return fields[0]
-    # resolve the rescue switch on device: ship one (B, 18) row per read
-    resc = fields[0][:, FIELDS.index("rescue")] != 0
-    return jnp.where(resc[:, None], fields[1], fields[0])
+    # resolve the rescue switch on device: ship one (B, 18) row per read.
+    # The merged row's rescue column carries the NORMAL band's flag (the
+    # wide row's own flag is meaningless post-switch), so the host can
+    # count device-resolved rescues (models/mapper.py stats, asserted
+    # non-vacuous by __graft_entry__.dryrun_multichip).
+    ri = FIELDS.index("rescue")
+    resc = fields[0][:, ri] != 0
+    merged = jnp.where(resc[:, None], fields[1], fields[0])
+    return merged.at[:, ri].set(resc.astype(merged.dtype))

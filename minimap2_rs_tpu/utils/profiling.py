@@ -27,7 +27,10 @@ def device_trace(trace_dir: str | None):
 def print_stage_stats(stats: dict, n_reads: int, total_bp: int, dt: float, file=sys.stderr):
     """Per-stage wall-time breakdown in the spirit of the reference's
     index stats line (main.rs:154-155)."""
-    parts = " ".join(f"{k}:{v:.2f}s" for k, v in sorted(stats.items()))
+    parts = " ".join(
+        f"{k}:{v:.2f}s" for k, v in sorted(stats.items())
+        if isinstance(v, (int, float))
+    )
     print(
         f"[mm2t] mapped {n_reads} reads ({total_bp} bp) in {dt:.2f}s "
         f"({total_bp / max(dt, 1e-9):.0f} bp/s) | {parts}",
