@@ -44,11 +44,25 @@ def _median3(fn):
     return sorted(times)[1], out, times
 
 
+def _median5(fn):
+    """min/median/spread over 5 passes: the relay-attached TPU is ~15%
+    noisy pass-to-pass, so a 3-pass median was too weak a number to
+    steer perf rounds by (VERDICT r3)."""
+    times = []
+    out = None
+    for _ in range(5):
+        t0 = time.time()
+        out = fn()
+        times.append(time.time() - t0)
+    s = sorted(times)
+    return s[2], out, times
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=16384)
     ap.add_argument("--genome-mb", type=float, default=5.0)
-    ap.add_argument("--batch-size", type=int, default=4096)
+    ap.add_argument("--batch-size", type=int, default=8192)
     ap.add_argument("--parity-stride", type=int, default=16)
     ap.add_argument("--longread-n", type=int, default=512)
     ap.add_argument("--large-mb", type=float, default=100.0)
@@ -114,18 +128,21 @@ def main() -> int:
     mapper = Mapper.from_oracle_index(idx, cp, mp, batch_size=args.batch_size)
 
     t0 = time.time()
-    mapper.map_reads(rl)  # warmup: compile + cache every shape
+    mapper.map_reads_paf(rl)  # warmup: compile + cache every shape
     log(f"warmup (compile): {time.time()-t0:.1f}s")
 
-    # median of 3 measured passes (a single pass is ~15% noisy through
+    # median of 5 measured passes (a single pass is ~15% noisy through
     # the shared TPU relay; min would report the luckiest pass); the
     # per-stage Mapper stats of the LAST pass ship in the JSON so a
-    # throughput change is attributable to a stage
+    # throughput change is attributable to a stage. The timed unit is
+    # map_reads_paf — bytes in, one PAF bytes blob out (the production
+    # output path).
     def _one_pass():
         mapper.stats = {}
-        return mapper.map_reads(rl)
+        return mapper.map_reads_paf(rl)
 
-    dt, lines, times = _median3(_one_pass)
+    dt, blob, times = _median5(_one_pass)
+    lines = blob.decode().split("\n")[:-1] if blob else []
     log(f"mapped {len(rl)} reads ({total_bp} bp) in {dt:.2f}s "
         f"(passes: {[round(t, 2) for t in times]}) -> {len(lines)} records")
 
@@ -135,9 +152,11 @@ def main() -> int:
     target = 1e7  # BASELINE.md: >= 10M aligned read-bp/s/chip
     extra["pass_times_s"] = [round(t, 3) for t in times]
     extra["best_pass_bp_per_s"] = round(aligned_bp / min(times), 1)
+    extra["pass_spread"] = round(max(times) / min(times), 3)
     extra["stage_breakdown_s"] = {
         k: round(v, 4) for k, v in mapper.stats.items()
     }
+    headline_stats = dict(mapper.stats)  # later sections reuse `mapper`
 
     # ---- 2. hardware parity gates ------------------------------------
     n_parity = parity_check(
@@ -237,8 +256,12 @@ def main() -> int:
         big = random_genome(gl, seed=7)
         log(f"large genome gen: {time.time()-t0:.1f}s")
         brecs = [("chrL", big)]
-        build_index_native(brecs, IndexParams())  # warm allocators
-        t_big, idx_big, big_times = _median3(
+        # two warm passes: the brk-heap reuse (runtime/host.py
+        # _enable_heap_reuse) reaches its fault-free steady state after
+        # two generations of build buffers
+        build_index_native(brecs, IndexParams())
+        build_index_native(brecs, IndexParams())
+        t_big, idx_big, big_times = _median5(
             lambda: build_index_native(brecs, IndexParams())
         )
         extra["large_index_build_bp_per_s"] = round(gl / t_big, 1)
@@ -248,6 +271,9 @@ def main() -> int:
         extra["large_index_build_pass_times_s"] = [
             round(t, 2) for t in big_times
         ]
+        extra["large_index_build_spread"] = round(
+            max(big_times) / min(big_times), 3
+        )
         log(f"large index build: {t_big:.1f}s ({gl/t_big/1e6:.1f} Mbp/s), "
             f"{idx_big.keys.shape[0]} keys")
         breads = simulate_reads(big, args.large_reads,
@@ -267,22 +293,28 @@ def main() -> int:
         parity_check("large", bmapper, idx_big, brl[::64], blines, cp, mp)
         extra["parity_reads"] += extra["parity_large"]
 
-    # ---- 6. chain-kernel VPU utilization ------------------------------
+    # ---- 6. chain-kernel VPU utilization + relay sync floor -----------
     # The flagship kernel computes B*A*Hpad DP cells per call (window
     # Hpad = A on the headline shapes). Per cell the kernel does ~30
-    # int32/f32 VPU ops (deltas, 9-term mask, min, log2 penalty, select,
-    # running max — ops/chain_pallas.py _comput_sc). v5e VPU roofline:
-    # 8x128 lanes x 4 ALUs x ~0.94 GHz ~ 3.85e12 int32 ops/s.
+    # int32/f32 VPU ops (deltas, mask, min, log2 penalty, select,
+    # running max — ops/chain_pallas.py). v5e VPU roofline: 8x128 lanes
+    # x 4 ALUs x ~0.94 GHz ~ 3.85e12 int32 ops/s.
+    #
+    # Methodology (r4): one host-synced call through this TPU relay pays
+    # a ~27 ms round-trip REGARDLESS of kernel time — r1-r3 measured
+    # sync latency, not the kernel (hence the bogus 6.6% figure). Here K
+    # data-dependent kernel calls run inside ONE jit with one sync;
+    # per-call time = (t_chained - t_sync_floor) / K. The floor itself
+    # ships as relay_sync_ms — it is the first-order cost of ANY
+    # host-synced device call in this environment.
     try:
-        import dataclasses as _dc
-
         import jax
         import jax.numpy as jnp
 
         from minimap2_rs_tpu.ops.chain_ops import chain_scalars_from_params
         from minimap2_rs_tpu.ops.chain_pallas import chain_dp_aux_batch_pallas
 
-        B_u, A_u = 4096, 256
+        B_u, A_u, K_u = 4096, 256, 8
         rng = np.random.default_rng(5)
         grp = jnp.zeros((B_u, A_u), jnp.uint32)
         rpos = jnp.asarray(
@@ -291,19 +323,95 @@ def main() -> int:
         qpos = jnp.asarray(rng.integers(0, 1000, (B_u, A_u)), jnp.int32)
         span = jnp.full((B_u, A_u), 15, jnp.int32)
         scal = chain_scalars_from_params(cp)
-        fn = lambda: jax.block_until_ready(
-            chain_dp_aux_batch_pallas(grp, rpos, qpos, span, scal, A_u)
-        )
-        fn()  # compile
-        t_k, _, _ = _median3(fn)
+
+        @jax.jit
+        def _floor_fn(x):
+            return jnp.sum(x)
+
+        @jax.jit
+        def _chained(grp, rpos, qpos, span, scal):
+            acc = jnp.int32(0)
+            q = qpos
+            for _ in range(K_u):
+                f, cnt, sq, sr = chain_dp_aux_batch_pallas(
+                    grp, rpos, q, span, scal, A_u
+                )
+                acc = acc + jnp.sum(f) + jnp.sum(cnt) + jnp.sum(sq) + jnp.sum(sr)
+                q = q + (f[:, :1] & 1)  # data dependency: serialize calls
+            return acc
+
+        int(_floor_fn(qpos))
+        int(_chained(grp, rpos, qpos, span, scal))  # compile
+        t_f, _, _ = _median3(lambda: int(_floor_fn(qpos)))
+        t_c, _, _ = _median3(lambda: int(_chained(grp, rpos, qpos, span, scal)))
+        t_k = max((t_c - t_f) / K_u, 1e-9)
         cells = B_u * A_u * A_u
         ops = cells * 30
+        extra["relay_sync_ms"] = round(t_f * 1e3, 2)
+        extra["chain_ms_per_call"] = round(t_k * 1e3, 3)
         extra["chain_cells_per_s"] = round(cells / t_k, 1)
         extra["chain_vpu_util"] = round(ops / t_k / 3.85e12, 4)
-        log(f"chain kernel: {cells/t_k/1e9:.1f} Gcells/s, "
+        log(f"chain kernel: {cells/t_k/1e9:.1f} Gcells/s "
+            f"({t_k*1e3:.2f} ms/call, sync floor {t_f*1e3:.1f} ms), "
             f"~{100*ops/t_k/3.85e12:.1f}% of VPU roofline")
     except Exception as e:  # utilization is informative, not a gate
         extra["chain_util_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---- 7. skip-prune mode parity ON TPU -----------------------------
+    # MM2T_SKIP_PRUNE=1 replicates the reference's order-dependent
+    # max_chain_skip pruning bit-for-bit (lchain.rs:79-88) in the
+    # lax.scan kernel; this gate runs that mode on the hardware (it was
+    # CPU-parity-tested only through r3).
+    os.environ["MM2T_SKIP_PRUNE"] = "1"
+    try:
+        rl_sp = rl[:128]
+        # small batch: this mode runs the lax.scan kernel (the pruning
+        # is order-dependent), so keep the compiled shape small
+        m_sp = Mapper.from_oracle_index(idx, cp, mp, batch_size=128)
+        m_sp.map_reads(rl_sp)
+        parity_check("skipprune", m_sp, idx, rl_sp, m_sp.map_reads(rl_sp),
+                     cp, mp)
+    finally:
+        del os.environ["MM2T_SKIP_PRUNE"]
+
+    # ---- 8. end-to-end per-stage achieved-vs-peak roofline ------------
+    # Composable model of one headline pass: transfer bytes and stage
+    # seconds come from the Mapper's own counters; the relay sync floor
+    # and kernel rate from section 6. "sol" (speed of light) is what the
+    # pass would cost if only the irreducible parts remained: 2 syncs +
+    # measured wire bytes at the achieved link rates + the chain kernel.
+    try:
+        st = headline_stats
+        n_calls = max(1, -(-len(rl) // args.batch_size))
+        h2d = st.get("h2d_bytes", 0)
+        d2h = st.get("d2h_bytes", 0)
+        sub = max(st.get("submit", 0.0), 1e-9)
+        dw = max(st.get("d2h+wait", 0.0), 1e-9)
+        roof = {
+            "h2d_bytes": int(h2d),
+            "d2h_bytes": int(d2h),
+            "h2d_MBps_achieved": round(h2d / sub / 1e6, 1),
+            "d2h_MBps_over_wait": round(d2h / dw / 1e6, 1),
+            "syncs_per_pass": n_calls,
+            "sync_floor_s": round(extra.get("relay_sync_ms", 27.0) / 1e3, 4),
+            "chain_kernel_s_per_band": round(
+                extra.get("chain_ms_per_call", 2.4) / 1e3
+                * (len(rl) / B_u), 4,
+            ),
+            "host_post_s": round(st.get("post", 0.0), 4),
+        }
+        sol = (
+            n_calls * roof["sync_floor_s"]
+            + 2 * roof["chain_kernel_s_per_band"]
+            + roof["host_post_s"]
+        )
+        roof["pass_floor_model_s"] = round(sol, 4)
+        roof["headline_vs_floor"] = round(dt / max(sol, 1e-9), 3)
+        extra["roofline"] = roof
+        log(f"roofline: pass {dt:.3f}s vs floor model {sol:.3f}s "
+            f"({dt/max(sol,1e-9):.2f}x)")
+    except Exception as e:
+        extra["roofline_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": "aligned_read_bp_per_s_per_chip",

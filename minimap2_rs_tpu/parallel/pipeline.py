@@ -207,6 +207,27 @@ def make_map_batch_dp_lite(mesh: Mesh, statics: dict):
     return jax.jit(fn)
 
 
+def sharded_payload_bytes(statics: dict, B_row: int, n_ix: int) -> dict:
+    """Exact per-dp-row ICI payloads of one sharded-mode call (bytes),
+    from the traced shapes — the minimizer all_gather ships 4 planes of
+    (B_loc, M) (sks_hi/sks_lo/sps u32 + keep pred8), the anchor
+    all_to_all moves 4 u32 planes of (B_row, A) with (n_ix-1)/n_ix
+    crossing a link. Used to predict the sharded-mode ICI overhead on
+    real hardware (SCALING.json): the virtual-CPU mesh can time program
+    overhead but not ICI."""
+    M, A = statics["M"], statics["A"]
+    B_loc = max(B_row // n_ix, 1)
+    gather_sent = B_loc * M * (4 + 4 + 4 + 1) * max(n_ix - 1, 0)
+    a2a_sent = B_row * A * 4 * 4 * (n_ix - 1) // max(n_ix, 1)
+    return {
+        "minimizer_all_gather_bytes_per_device": gather_sent,
+        "anchor_all_to_all_bytes_per_device": a2a_sent,
+        "total_ici_bytes_per_device": gather_sent + a2a_sent,
+        "reads_per_row": B_row,
+        "ici_bytes_per_read": round((gather_sent + a2a_sent) / max(B_row, 1), 1),
+    }
+
+
 def make_map_batch_sharded_lite(mesh: Mesh, statics: dict):
     """Hash-range-sharded FULL pipeline: sketch once on each read's home
     device, minimizer all_gather to the shards, local lookups, anchor

@@ -85,6 +85,33 @@ def test_cli_anchors_chain_device_matches_host(fixtures, capsys):
     assert "best_chain_len: " in outs["host"][1]
 
 
+def test_cli_anchors_chain_device_even_k(fixtures, capsys, monkeypatch):
+    """Even k must use the device engine on the debug subcommands too
+    (the exact even-k scan landed in ops/sketch_scan.py; the old CLI
+    guard silently downgraded -k 14 to host) and match the host oracle."""
+    import minimap2_rs_tpu.cli as cli_mod
+
+    d, ref, qry, genome, reads = fixtures
+    taken = []
+    orig = cli_mod._device_anchors
+
+    def spy(idx, q, mid_occ):
+        out = orig(idx, q, mid_occ)
+        taken.append(out is not None)
+        return out
+
+    monkeypatch.setattr(cli_mod, "_device_anchors", spy)
+    outs = {}
+    for eng in ("host", "device"):
+        assert main(["anchors", ref, qry, "-k", "14", "--engine", eng]) == 0
+        a = capsys.readouterr().out
+        assert main(["chain", ref, qry, "-k", "14", "--engine", eng]) == 0
+        c = capsys.readouterr().out
+        outs[eng] = (a, c)
+    assert outs["device"] == outs["host"]
+    assert taken and all(taken), "device path not taken at k=14"
+
+
 def test_cli_align_mesh(fixtures, capsys):
     """--mesh DP maps over a device mesh (replicated index) and
     --index-shards IX shards it; output must equal the host engine."""
