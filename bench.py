@@ -233,7 +233,15 @@ def main() -> int:
     tb, idx_dev, _ = _median3(lambda: build_index_device(recs, IndexParams()))
     assert idx_dev.keys.shape[0] == idx.keys.shape[0]
     extra["index_build_device_bp_per_s"] = round(glen / tb, 1)
-    log(f"device index build: {tb:.2f}s ({glen/tb/1e6:.1f} Mbp/s)")
+    # why the device engine loses HERE (and `auto` dispatches native):
+    # it must return 16 B/minimizer of (key, rps) pairs over the relay's
+    # ~16 MB/s D2H link — a hard floor independent of device speed. On
+    # directly-attached hardware (PCIe) this term vanishes. See README.
+    d2h_b = 16 * int(idx_dev.positions.shape[0])
+    extra["index_build_device_d2h_bytes"] = d2h_b
+    extra["index_build_device_d2h_floor_s"] = round(d2h_b / 16e6, 2)
+    log(f"device index build: {tb:.2f}s ({glen/tb/1e6:.1f} Mbp/s; "
+        f"relay D2H floor ~{d2h_b/16e6:.1f}s)")
 
     # ---- 4. long-read config -----------------------------------------
     if not args.skip_longread:

@@ -67,6 +67,10 @@ def _dv_from_fields(fields: np.ndarray, col: dict) -> np.ndarray:
 
 from .stages import unpack_codes4 as _unpack_codes4  # noqa: E402 (wire format)
 
+# per-batch capacity of the 2-bit wire's ambiguous-base exception list;
+# batches with more Ns fall back to the 4-bit wire
+_NEX_CAP = 2048
+
 
 def _pack_codes4_host(codes: np.ndarray) -> np.ndarray:
     return codes[:, 0::2] | (codes[:, 1::2] << 4)
@@ -149,7 +153,7 @@ def _fused_map_stage(
     jax.jit,
     static_argnames=(
         "w", "k", "hpc", "q_occ_max", "q_occ_frac", "M", "A", "window",
-        "pallas_chain", "flag_window_ovf", "packed", "max_chain_skip",
+        "pallas_chain", "flag_window_ovf", "wire", "max_chain_skip",
         "wide",
     ),
 )
@@ -157,6 +161,7 @@ def _fused_map_stage_lite(
     dev_idx: DeviceIndex,
     codes: jnp.ndarray,
     lengths: jnp.ndarray,
+    nex: jnp.ndarray,
     scalars: ChainScalars,
     scalars_wide: ChainScalars,
     mid_occ: jnp.ndarray,
@@ -174,28 +179,31 @@ def _fused_map_stage_lite(
     window: int,
     pallas_chain: bool = False,
     flag_window_ovf: bool = False,
-    packed: bool = False,
+    wire: str = "4bit",
     max_chain_skip: int | None = None,
     wide: bool = True,
 ):
     """Default-parameter fast path: the whole pipeline INCLUDING chain
-    finalization on device; output is (B, 18) int32 PAF fields
-    (ops/finalize_ops.py), already switched to the bw_long wide-band
-    result for reads whose normal-band rescue flag fired.
-    The chain kernel accumulates per-chain statistics along the
+    finalization on device; output is one compact wire row per read
+    (ops/finalize_ops.pack_fields_wire), already switched to the
+    bw_long wide-band result for reads whose normal-band rescue flag
+    fired. The chain kernel accumulates per-chain statistics along the
     prev path, so no backtracking exists anywhere; computing BOTH bands
-    up front costs ~8 ms per call and removes the separate rescue
-    round-trip (lchain.rs:321-330) entirely — the host just switches to
-    the wide row when the normal row's rescue flag is set.
+    up front costs a few ms of DP and removes the separate rescue
+    round-trip (lchain.rs:321-330) entirely.
     Valid when min_cnt >= 2 (the reference backtrack always takes its
     greedy single-chain fallback); HPC spans ride along in y_hi and the
     sum_span field. Stage bodies are shared with the mesh paths
-    (models/stages.py, parallel/pipeline.py); the single (B, 18) output
-    row also keeps the D2H payload small (the relay moves ~24 MB/s)."""
-    from .stages import chain_finalize_lite, sketch_to_anchors
+    (models/stages.py, parallel/pipeline.py). wire selects the H2D
+    codes format: "2bit" (4 codes/byte + N-exception scatter — the
+    default production wire), "4bit" (two nibbles/byte), or "none"
+    (raw int32 codes); nex is only read by the 2-bit wire."""
+    from .stages import chain_finalize_lite, sketch_to_anchors, unpack_codes2
 
-    if packed:
+    if wire == "4bit":
         codes = _unpack_codes4(codes)
+    elif wire == "2bit":
+        codes = unpack_codes2(codes, lengths, nex)
     assert codes.shape[-1] <= 1 << 22, "reads longer than 4M bases unsupported"
     anc = sketch_to_anchors(
         dev_idx, codes, lengths, mid_occ,
@@ -321,6 +329,11 @@ class Mapper:
     # average ~740 slots at w=10 emission density, so 1024 covers typical
     # reads; denser reads are flagged exactly (win_ovf) and re-run wider
     lite_window_cap: int = 1024
+    # 2-bit H2D wire (stages.unpack_codes2): halves the pass's largest
+    # wire payload; MeshMapper disables it (the mesh programs take the
+    # 4-bit wire). Falls back to 4-bit per batch when a batch carries
+    # more than _NEX_CAP ambiguous bases.
+    wire2: bool = True
     stats: dict = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
@@ -377,7 +390,7 @@ class Mapper:
             np.cumsum([len(n) for n in enc], out=self._tname_off[1:])
 
     def _device_stage_lite(self, codes, lengths, M, A, scalars: ChainScalars, window: int,
-                           wide: bool = True):
+                           wide: bool = True, nex=None, wire: str = "4bit"):
         self._ensure_meta()
         if not hasattr(self, "_tlens_dev"):
             self._tlens_dev = jnp.asarray(self._tlens)
@@ -391,12 +404,14 @@ class Mapper:
         # constants and marshal correctly.
         flag_wovf = window < min(self.cp.max_chain_iter, A)
         mcs = _chain_skip_cfg(self.cp)
+        if nex is None:
+            nex = jnp.zeros(1, I32)
         key = (
             codes.shape, M, A, window, flag_wovf, _use_pallas_chain(), mcs,
-            wide,
+            wide, wire,
         )
         args = (
-            self.dev_idx, codes, lengths, scalars, self._scalars_wide,
+            self.dev_idx, codes, lengths, nex, scalars, self._scalars_wide,
             jnp.int32(self.mid_occ),
             self._tlens_dev, jnp.int32(self.cp.rmq_rescue_size),
             jnp.float32(self.cp.rmq_rescue_ratio),
@@ -408,8 +423,8 @@ class Mapper:
                 *args,
                 w=self.idx.w, k=self.idx.k, hpc=False,
                 q_occ_max=self.mp.q_occ_max, q_occ_frac=self.mp.q_occ_frac,
-                M=M, A=A, window=window, pallas_chain=key[-3],
-                flag_window_ovf=flag_wovf, packed=True, max_chain_skip=mcs,
+                M=M, A=A, window=window, pallas_chain=key[-4],
+                flag_window_ovf=flag_wovf, wire=wire, max_chain_skip=mcs,
                 wide=wide,
             )
             self._lite_exec[key] = lowered.compile()
@@ -627,12 +642,22 @@ class Mapper:
                 lengths = np.zeros(B, dtype=np.int32)
                 lengths[: len(chunk)] = [len(reads[ri][1]) for ri in chunk]
                 packed4 = None
+                wire, nex = "4bit", None
                 if not os.environ.get("MM2T_NO_NATIVE"):
-                    from ..runtime.host import native_encode_pack4
+                    from ..runtime.host import (
+                        native_encode_pack2,
+                        native_encode_pack4,
+                    )
 
                     seqs = [reads[ri][1] for ri in chunk]
                     seqs += [b""] * (B - len(chunk))
-                    packed4 = native_encode_pack4(seqs, bucket // 2)
+                    if lite and self.wire2:
+                        out2 = native_encode_pack2(seqs, bucket // 4, _NEX_CAP)
+                        if out2 is not None:
+                            packed4, nex = out2
+                            wire = "2bit"
+                    if packed4 is None:
+                        packed4 = native_encode_pack4(seqs, bucket // 2)
                 if packed4 is None:
                     codes = np.full((B, bucket), 4, dtype=np.uint8)
                     # one LUT pass over the whole chunk, then row memcpys
@@ -647,11 +672,14 @@ class Mapper:
                 self.stats["h2d_bytes"] = (
                     self.stats.get("h2d_bytes", 0)
                     + packed4.nbytes + lengths.nbytes
+                    + (nex.nbytes if nex is not None else 0)
                 )
                 d_packed4, d_lengths = self._to_device(packed4, lengths)
+                d_nex = jnp.asarray(nex) if nex is not None else None
                 if lite:
                     packed = self._device_stage_lite(
                         d_packed4, d_lengths, M, A, scalars, window,
+                        nex=d_nex, wire=wire,
                     )
                 else:
                     packed = self._device_stage(
@@ -677,6 +705,8 @@ class Mapper:
     def _drain_pending(self, reads, pending, results, lite, mode="normal"):
         import time as _time
 
+        from ..ops.finalize_ops import WIRE_WORDS, unpack_fields_wire
+
         for chunk, packed, M, A, window in pending:
             t1 = _time.time()
             if lite:
@@ -684,6 +714,8 @@ class Mapper:
                 self.stats["d2h_bytes"] = (
                     self.stats.get("d2h_bytes", 0) + fields.nbytes
                 )
+                if fields.shape[1] == WIRE_WORDS:
+                    fields = unpack_fields_wire(fields)
                 t2 = _time.time()
                 self._postprocess_lite(reads, chunk, fields, results, mode=mode)
             else:

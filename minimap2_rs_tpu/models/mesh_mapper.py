@@ -39,6 +39,7 @@ class MeshMapper(Mapper):
 
     mesh: object = None          # jax.sharding.Mesh
     index_sharded: bool = False
+    wire2: bool = False          # mesh programs take the 4-bit wire
 
     def __post_init__(self):
         super().__post_init__()
@@ -86,11 +87,13 @@ class MeshMapper(Mapper):
         )
 
     def _device_stage_lite(self, codes, lengths, M, A, scalars, window,
-                           wide: bool = True):
+                           wide: bool = True, nex=None, wire: str = "4bit"):
         from ..parallel.pipeline import (
             make_map_batch_dp_lite,
             make_map_batch_sharded_lite,
         )
+
+        assert wire == "4bit" and nex is None, "mesh path is 4-bit wire"
 
         self._ensure_meta()
         if not hasattr(self, "_tlens_dev"):

@@ -31,12 +31,31 @@ U32 = jnp.uint32
 
 def unpack_codes4(codes4: jnp.ndarray) -> jnp.ndarray:
     """(B, L//2) uint8 two-nibble packed nt4 codes -> (B, L) int32.
-    Host->device transfers ride a ~115 MB/s relay, so halving the wire
+    Host->device transfers ride a ~100 MB/s relay, so halving the wire
     bytes is worth the (fused, free) device-side unpack."""
     B = codes4.shape[0]
     lo = (codes4 & jnp.uint8(0xF)).astype(I32)
     hi = (codes4 >> 4).astype(I32)
     return jnp.stack([lo, hi], axis=-1).reshape(B, codes4.shape[1] * 2)
+
+
+def unpack_codes2(codes2: jnp.ndarray, lengths: jnp.ndarray,
+                  nex: jnp.ndarray) -> jnp.ndarray:
+    """2-bit H2D wire -> (B, L) int32 nt4 codes, bit-identical to the
+    4-bit wire: (B, L//4) uint8 rows of 4 codes/byte, positions past
+    each read's length masked to the nt4=4 sentinel on device (padding
+    ships no bytes and no exceptions), and the rare ambiguous bases
+    scattered back to 4 from the flat exception list `nex` (padded with
+    the out-of-range B*L sentinel, dropped by the scatter). Halves the
+    dominant H2D payload vs the 4-bit wire."""
+    B, L4 = codes2.shape
+    L = L4 * 4
+    parts = [((codes2 >> (2 * s)) & jnp.uint8(3)).astype(I32) for s in range(4)]
+    codes = jnp.stack(parts, axis=-1).reshape(B, L)
+    idx = jnp.arange(L, dtype=I32)[None, :]
+    codes = jnp.where(idx < lengths[:, None], codes, 4)
+    flat = codes.reshape(-1).at[nex].set(4, mode="drop")
+    return flat.reshape(B, L)
 
 
 def sketch_compact_filter(
@@ -141,7 +160,12 @@ def chain_finalize_lite(
     The window-truncation flag is computed PER BAND with that band's own
     max_dist_x — the wide row runs at bw_long where a predecessor beyond
     the window cap is far more likely to still be in band."""
-    from ..ops.finalize_ops import FIELDS, finalize_from_aux
+    from ..ops.finalize_ops import (
+        FIELDS,
+        finalize_from_aux,
+        pack_fields_wire,
+        wire_packable,
+    )
 
     if pallas_chain and max_chain_skip is None:
         from ..ops.chain_pallas import chain_dp_aux_batch_pallas as _chain_fn
@@ -204,9 +228,13 @@ def chain_finalize_lite(
             win_ovf=_win_ovf_for(scal.max_dist_x), spans=spans,
             sum_span=sum_span,
         ))
+    # ship the compact wire rows when the counters are statically
+    # 16-bit-bounded (always true for the mapper's capacities); the
+    # host's _drain_pending unpacks by wire width
+    pack = pack_fields_wire if wire_packable(A, M) else (lambda x: x)
     if not wide:
-        return fields[0]
-    # resolve the rescue switch on device: ship one (B, 18) row per read.
+        return pack(fields[0])
+    # resolve the rescue switch on device: ship one row per read.
     # The merged row's rescue column carries the NORMAL band's flag (the
     # wide row's own flag is meaningless post-switch), so the host can
     # count device-resolved rescues (models/mapper.py stats, asserted
@@ -214,4 +242,4 @@ def chain_finalize_lite(
     ri = FIELDS.index("rescue")
     resc = fields[0][:, ri] != 0
     merged = jnp.where(resc[:, None], fields[1], fields[0])
-    return merged.at[:, ri].set(resc.astype(merged.dtype))
+    return pack(merged.at[:, ri].set(resc.astype(merged.dtype)))

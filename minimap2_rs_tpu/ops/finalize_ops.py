@@ -46,6 +46,63 @@ FIELDS = [
     "win_ovf", "sum_span",
 ]
 
+# Device->host wire format: the relay's D2H link moves ~16 MB/s, so the
+# 18 logical fields ship as 10 words per read (n_match always equals cm,
+# finalize_from_aux; 16-bit-bounded counters pack in pairs; the 5 flags
+# share n_tot's word). pack runs on device (free, fused); unpack is a
+# handful of vectorized NumPy ops on host.
+WIRE_WORDS = 10
+
+
+def wire_packable(A: int, M: int) -> bool:
+    """True when every packed half-word is statically < 2^16:
+    cm/n_anchors <= A, n_mini/st <= M, n_tot <= M + 2."""
+    return A < (1 << 16) and M + 2 < (1 << 16)
+
+
+def pack_fields_wire(fields: jnp.ndarray) -> jnp.ndarray:
+    """(B, 18) int32 field rows -> (B, 10) int32 wire rows (in-jit)."""
+    c = {n: fields[:, i] for i, n in enumerate(FIELDS)}
+    w16 = lambda hi, lo: (hi << 16) | lo  # halves < 2^16 (wire_packable)
+    flags = (
+        c["dv_found"] | (c["rescue"] << 1) | (c["mini_ovf"] << 2)
+        | (c["anc_ovf"] << 3) | (c["win_ovf"] << 4)
+    )
+    return jnp.stack(
+        [
+            c["score"], c["qs"], c["qe"], c["ts"], c["te"], c["grp"],
+            w16(c["cm"], c["n_anchors"]), w16(c["n_mini"], c["st"]),
+            w16(c["n_tot"], flags), c["sum_span"],
+        ],
+        axis=1,
+    )
+
+
+def unpack_fields_wire(wire) -> "np.ndarray":
+    """Host-side inverse of pack_fields_wire: (B, 10) -> (B, 18) int32."""
+    import numpy as np
+
+    w = np.ascontiguousarray(wire, dtype=np.int32)
+    u = w.view(np.uint32)
+    out = np.empty((w.shape[0], len(FIELDS)), np.int32)
+    col = {n: i for i, n in enumerate(FIELDS)}
+    for j, name in enumerate(("score", "qs", "qe", "ts", "te", "grp")):
+        out[:, col[name]] = w[:, j]
+    out[:, col["cm"]] = (u[:, 6] >> 16).astype(np.int32)
+    out[:, col["n_match"]] = out[:, col["cm"]]
+    out[:, col["n_anchors"]] = (u[:, 6] & 0xFFFF).astype(np.int32)
+    out[:, col["n_mini"]] = (u[:, 7] >> 16).astype(np.int32)
+    out[:, col["st"]] = (u[:, 7] & 0xFFFF).astype(np.int32)
+    out[:, col["n_tot"]] = (u[:, 8] >> 16).astype(np.int32)
+    flags = u[:, 8]
+    out[:, col["dv_found"]] = (flags & 1).astype(np.int32)
+    out[:, col["rescue"]] = ((flags >> 1) & 1).astype(np.int32)
+    out[:, col["mini_ovf"]] = ((flags >> 2) & 1).astype(np.int32)
+    out[:, col["anc_ovf"]] = ((flags >> 3) & 1).astype(np.int32)
+    out[:, col["win_ovf"]] = ((flags >> 4) & 1).astype(np.int32)
+    out[:, col["sum_span"]] = w[:, 9]
+    return out
+
 
 def _lower_bound_single(mini_pos: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """Per-row lower_bound of one value q (B,) into sorted mini_pos (B, M):

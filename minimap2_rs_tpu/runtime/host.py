@@ -140,6 +140,12 @@ def _load():
             ctypes.POINTER(ctypes.c_char_p), i64p,
             ctypes.c_int64, ctypes.c_int64, u8p,
         ]
+    if hasattr(lib, "mm2t_encode_pack2"):
+        lib.mm2t_encode_pack2.restype = ctypes.c_int64
+        lib.mm2t_encode_pack2.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), i64p,
+            ctypes.c_int64, ctypes.c_int64, u8p, i32p, ctypes.c_int64,
+        ]
         lib.mm2t_format_lite.restype = ctypes.c_int64
         lib.mm2t_format_lite.argtypes = [
             i32p, ctypes.c_int64, ctypes.c_int32, f32p,
@@ -374,6 +380,25 @@ def native_encode_pack4(seqs: list[bytes], Lpack: int) -> np.ndarray | None:
     out = np.empty((B, Lpack), dtype=np.uint8)
     lib.mm2t_encode_pack4(ptrs, lens, B, Lpack, out)
     return out
+
+
+def native_encode_pack2(seqs: list[bytes], Lpack2: int, nex_cap: int):
+    """2-bit H2D wire: ((B, Lpack2) uint8 rows of 4 codes/byte,
+    (nex_cap,) int32 flat N-exception indices padded with B*4*Lpack2).
+    None when the library is unavailable OR the batch holds more than
+    nex_cap ambiguous bases (caller falls back to the 4-bit wire)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mm2t_encode_pack2"):
+        return None
+    B = len(seqs)
+    ptrs = (ctypes.c_char_p * B)(*seqs)
+    lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=B)
+    out = np.empty((B, Lpack2), dtype=np.uint8)
+    nex = np.full(max(nex_cap, 1), B * 4 * Lpack2, dtype=np.int32)
+    n = lib.mm2t_encode_pack2(ptrs, lens, B, Lpack2, out, nex, nex_cap)
+    if n > nex_cap:
+        return None
+    return out, nex
 
 
 _LITE_COLS = [

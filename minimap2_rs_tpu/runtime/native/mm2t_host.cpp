@@ -727,6 +727,37 @@ void mm2t_encode_pack4(const uint8_t* const* seqs, const int64_t* lens,
   }
 }
 
+// 2-bit wire: 4 codes per byte (low pair first), ambiguous bases (nt4
+// code 4, i.e. N) recorded as flat exceptions i*4*Lpack2 + j that the
+// device scatters back to 4 after unpacking (stages.unpack_codes2);
+// positions past each read's length are masked to 4 on device from
+// `lengths`, so padding costs no exceptions. Returns the exception
+// count; if it exceeds nex_cap the caller must fall back to the 4-bit
+// wire (out/out_nex contents are then unspecified). Halves H2D bytes —
+// the host->TPU relay is the headline pass's largest wire cost.
+int64_t mm2t_encode_pack2(const uint8_t* const* seqs, const int64_t* lens,
+                          int64_t B, int64_t Lpack2, uint8_t* out,
+                          int32_t* out_nex, int64_t nex_cap) {
+  const int64_t L = 4 * Lpack2;
+  int64_t n_ex = 0;
+  for (int64_t i = 0; i < B; i++) {
+    uint8_t* row = out + i * Lpack2;
+    memset(row, 0, Lpack2);
+    const uint8_t* s = seqs[i];
+    const int64_t n = lens[i];
+    for (int64_t j = 0; j < n; j++) {
+      const uint8_t c = NT4[s[j]];
+      if (c >= 4) {
+        if (n_ex >= nex_cap) return n_ex + 1;
+        out_nex[n_ex++] = (int32_t)(i * L + j);
+      } else {
+        row[j >> 2] |= (uint8_t)(c << ((j & 3) * 2));
+      }
+    }
+  }
+  return n_ex;
+}
+
 // ---------------------------------------------------------------------
 // batch PAF formatting for the lite device path
 // (mirrors models/mapper.py _postprocess_lite's f-string exactly)
