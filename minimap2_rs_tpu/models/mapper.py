@@ -179,7 +179,7 @@ def _fused_map_stage_lite(
     window: int,
     pallas_chain: bool = False,
     flag_window_ovf: bool = False,
-    wire: str = "4bit",
+    wire: str = "none",
     max_chain_skip: int | None = None,
     wide: bool = True,
 ):
@@ -431,11 +431,20 @@ class Mapper:
         return self._lite_exec[key](*args)
 
     def _postprocess_lite(self, reads, chunk, fields, results, mode="normal"):
-        """Route the device's merged dual-band (B, 18) field rows: clean
-        rows become PAF line bytes (stored as zero-copy memoryview
-        slices of the batch blob — bytes end-to-end until the output
-        write), overflow rows requeue to the 4x tier ("normal") or fall
-        back to the host pipeline ("tier2").
+        """Route the device's (B, 18) field rows: clean rows become PAF
+        line bytes (stored as zero-copy memoryview slices of the batch
+        blob — bytes end-to-end until the output write), overflow rows
+        requeue to the 4x tier or fall back to the host pipeline.
+
+        Modes:
+          "normal" — merged dual-band rows; overflow to the tier.
+          "lazy"   — single-band rows (lane shapes): rescue-flagged
+                     clean rows queue for the phase-2.2 wide re-run
+                     instead of formatting.
+          "wide"   — the phase-2.2 re-run: rows replace phase-1 results;
+                     the rescue flag is ignored (rescue was decided by
+                     the normal band, lchain.rs:321-326).
+          "tier2"  — final: residual overflow to the host pipeline.
 
         Formatting runs in the native runtime (mm2t_format_lite) when
         built; the Python loop below is the bit-identical fallback."""
@@ -443,7 +452,8 @@ class Mapper:
 
         self._ensure_meta()
         col = {name: i for i, name in enumerate(FIELDS)}
-        requeue = mode == "normal"
+        requeue = mode != "tier2"
+        lazy = mode == "lazy"
         if not os.environ.get("MM2T_NO_NATIVE"):
             from ..runtime.host import native_format_lite
 
@@ -454,11 +464,20 @@ class Mapper:
                 | (fr[:, col["anc_ovf"]] != 0)
                 | (fr[:, col["win_ovf"]] != 0)
             )
-            # the rescue col carries the normal band's flag post-merge
-            # (stages.py): count device-resolved wide-band switches
-            self.stats["wide_reads"] = self.stats.get("wide_reads", 0) + int(
-                ((fr[:, col["rescue"]] != 0) & ~ovf_m).sum()
-            )
+            resc = np.zeros(n, dtype=bool)
+            if lazy:
+                resc = (fr[:, col["rescue"]] != 0) & ~ovf_m
+                if not fr.flags.writeable:
+                    fr = fr.copy()
+                # suppress the normal-band line; the wide pass replaces it
+                fr[resc, col["n_anchors"]] = 0
+            elif mode != "wide":
+                # dual-band rows: the rescue col carries the normal
+                # band's flag post-merge (stages.py) — count the
+                # device-resolved wide-band switches
+                self.stats["wide_reads"] = self.stats.get(
+                    "wide_reads", 0
+                ) + int(((fr[:, col["rescue"]] != 0) & ~ovf_m).sum())
             dv_n = _dv_from_fields(fr, col)
             qlens = np.fromiter(
                 (len(reads[ri][1]) for ri in chunk), dtype=np.int32, count=n
@@ -474,10 +493,13 @@ class Mapper:
                 bmv = memoryview(blob)
                 # plain bools: numpy scalar boxing dominates the loop
                 ovf = ovf_m.tolist()
+                rescl = resc.tolist()
                 offl = off.tolist()
                 for bi, ri in enumerate(chunk):
                     a, b = offl[bi], offl[bi + 1]
-                    if b > a:
+                    if rescl[bi]:
+                        self._wide_queue.append(ri)
+                    elif b > a:
                         results[ri] = [bmv[a:b]]
                     elif ovf[bi]:
                         if requeue:
@@ -500,7 +522,10 @@ class Mapper:
                 else:
                     results[ri] = self._host_fallback(reads[ri])
                 continue
-            if row[col["rescue"]]:
+            if lazy and row[col["rescue"]]:
+                self._wide_queue.append(ri)
+                continue
+            if row[col["rescue"]] and mode in ("normal", "tier2"):
                 self.stats["wide_reads"] = self.stats.get("wide_reads", 0) + 1
             if row[col["n_anchors"]] == 0:
                 results[ri] = []
@@ -565,11 +590,15 @@ class Mapper:
 
         # phase 1: submit every batch to the device (async dispatch) so
         # TPU compute and device->host transfers overlap with the host
-        # postprocessing of earlier batches. The lite path computes BOTH
-        # bands (dual-band, wide=True) and resolves the rescue switch
-        # (lchain.rs:321-330) ON DEVICE: the second band costs a few ms
-        # of DP while a separate wide-band re-run call would pay the
-        # ~27 ms host<->TPU relay round-trip.
+        # postprocessing of earlier batches. Band policy per bucket
+        # (_band_policy): short-read (sublane-kernel) shapes compute
+        # BOTH chain bands and resolve the rescue switch
+        # (lchain.rs:321-330) ON DEVICE — the second band costs ~2 ms of
+        # DP while a separate re-run call pays the ~27 ms relay
+        # round-trip; long-read (lane-kernel) shapes run the normal band
+        # only and re-run the rare rescue-flagged reads lazily in phase
+        # 2.2 — there the second band costs hundreds of ms of DP, far
+        # more than one extra sync.
         t0 = _time.time()
         pending = self._submit_groups(reads, groups, scalars, lite, mult=1)
         self._t("submit", _time.time() - t0)
@@ -577,7 +606,15 @@ class Mapper:
         # phase 2: pull + postprocess in submission order
         self._rescue_queue: list = []
         self._tier2_queue: list = []
-        self._drain_pending(reads, pending, results, lite, mode="normal")
+        self._wide_queue: list = []
+        self._drain_pending(reads, pending, results, lite)
+
+        # phase 2.2: lazy wide band — rescue-flagged lane-shape reads
+        # re-run the SAME executable with the bw_long scalars (scalars
+        # are traced args, so no recompile)
+        t4 = _time.time()
+        self._drain_wides_lite(reads, results, lite)
+        self._t("wide", _time.time() - t4)
 
         # phase 2.5: capacity-overflow reads re-run on device at 4x slots
         t4 = _time.time()
@@ -613,18 +650,42 @@ class Mapper:
         B = B // 128 * 128 if B >= 128 else -(-B // 8) * 8
         return M, A, window, B
 
+    @staticmethod
+    def _dual_band(A: int) -> bool:
+        """Band policy: dual-band (both bw bands in one call, rescue
+        resolved on device) when the chain DP is cheap — the static
+        sublane kernel shapes. Lane-kernel shapes (long reads) pay
+        hundreds of ms per band, so they run the normal band only and
+        re-run rescue-flagged reads lazily (phase 2.2)."""
+        from ..ops.chain_pallas import _LANE_LAYOUT_MIN_A
+
+        return A < _LANE_LAYOUT_MIN_A
+
     def _submit_groups(self, reads, groups, scalars, lite, mult=None,
-                       b_cap=None):
+                       b_cap=None, band="auto"):
         """groups: {bucket: [ri...]} with uniform `mult`, or
         {(bucket, mult): [ri...]} when mult is None.
         b_cap shrinks the padded batch dimension toward the group size
         (rounded up to 128) — the re-run queues carry a few hundred reads
         at most, and a full-B padded call costs ~B regardless of how few
-        rows are real."""
+        rows are real.
+        band: "auto" applies _dual_band per bucket; "tier2" forces the
+        dual-band program and routes residual overflow to the host
+        pipeline (the 4x re-runs must neither requeue nor start another
+        wide pass); "widepass" is phase 2.2's single-band re-run with
+        the bw_long scalars."""
         pending = []
         for gkey, idxs in groups.items():
             bucket, gmult = gkey if mult is None else (gkey, mult)
             M, A, window, B = self._shapes_for(bucket, gmult)
+            if band == "tier2":
+                wide_prog, mode = True, "tier2"
+            elif band == "auto" and self._dual_band(A):
+                wide_prog, mode = True, "normal"
+            elif band == "widepass":
+                wide_prog, mode = False, "wide"
+            else:
+                wide_prog, mode = False, "lazy"
             if b_cap is not None:
                 B = min(B, max(128, -(-len(idxs) // 128) * 128))
             if lite and gmult == 1:
@@ -679,7 +740,7 @@ class Mapper:
                 if lite:
                     packed = self._device_stage_lite(
                         d_packed4, d_lengths, M, A, scalars, window,
-                        nex=d_nex, wire=wire,
+                        wide=wide_prog, nex=d_nex, wire=wire,
                     )
                 else:
                     packed = self._device_stage(
@@ -692,8 +753,32 @@ class Mapper:
                     packed.copy_to_host_async()
                 except AttributeError:
                     pass
-                pending.append((chunk, packed, M, A, window))
+                pending.append((chunk, packed, M, A, window, mode))
         return pending
+
+    def _drain_wides_lite(self, reads, results, lite):
+        """Phase 2.2: lane-shape reads whose normal-band rescue flag
+        fired re-run with the wide-band scalars (single band), replacing
+        their rows (lchain.rs:321-330 semantics, batched)."""
+        queue = self._wide_queue
+        self._wide_queue = []
+        self.stats["wide_reads"] = self.stats.get("wide_reads", 0) + len(queue)
+        if not queue:
+            return
+        if not hasattr(self, "_scalars_wide"):
+            self._scalars_wide = chain_scalars_from_params(
+                dataclasses.replace(self.cp, bw=self.cp.bw_long)
+            )
+        groups: dict[int, list[int]] = {}
+        for ri in queue:
+            L = len(reads[ri][1])
+            bucket = next(b for b in self.buckets if L <= b)
+            groups.setdefault(bucket, []).append(ri)
+        pending = self._submit_groups(
+            reads, groups, self._scalars_wide, lite, mult=1, b_cap=True,
+            band="widepass",
+        )
+        self._drain_pending(reads, pending, results, lite)
 
     def _to_device(self, packed4, lengths):
         """Host batch -> device arrays. MeshMapper overrides this to
@@ -702,12 +787,12 @@ class Mapper:
         never reshards a replicated array on call."""
         return jnp.asarray(packed4), jnp.asarray(lengths)
 
-    def _drain_pending(self, reads, pending, results, lite, mode="normal"):
+    def _drain_pending(self, reads, pending, results, lite):
         import time as _time
 
         from ..ops.finalize_ops import WIRE_WORDS, unpack_fields_wire
 
-        for chunk, packed, M, A, window in pending:
+        for chunk, packed, M, A, window, mode in pending:
             t1 = _time.time()
             if lite:
                 fields = np.asarray(packed)
@@ -750,8 +835,8 @@ class Mapper:
             bucket = next(b for b in self.buckets if L <= b)
             groups.setdefault(bucket, []).append(ri)
         pending = self._submit_groups(reads, groups, scalars, lite, mult=4,
-                                      b_cap=True)
-        self._drain_pending(reads, pending, results, lite, mode="tier2")
+                                      b_cap=True, band="tier2")
+        self._drain_pending(reads, pending, results, lite)
 
     # ------------------------------------------------------------------
 

@@ -95,9 +95,10 @@ def _worker(pid: int, nproc: int, port: int, devs: int) -> None:
     ))
 
     # expected: the same batch through the local single-device fused jit
+    # (nex is unread on the default 4-bit wire)
     want = np.asarray(_fused_map_stage_lite(
-        dev_idx, codes, lengths, scal, scal_w, mid_occ, tlens, rs, rr,
-        **statics, pallas_chain=False,
+        dev_idx, codes, lengths, np.zeros(1, np.int32), scal, scal_w,
+        mid_occ, tlens, rs, rr, **statics, pallas_chain=False,
     ))
 
     # ---- 1) dp spans processes, index replicated ----------------------
@@ -140,12 +141,19 @@ def _worker(pid: int, nproc: int, port: int, devs: int) -> None:
     fields_sh = fn_sh(sidx, codes2, lengths2, scal, scal_w, mid_occ,
                       tlens, rs, rr)
     got_sh = np.asarray(multihost_utils.process_allgather(fields_sh, tiled=True))
-    from minimap2_rs_tpu.ops.finalize_ops import FIELDS
+    from minimap2_rs_tpu.ops.finalize_ops import (
+        FIELDS,
+        WIRE_WORDS,
+        unpack_fields_wire,
+    )
 
     # reads that overflow the single-device A anchor slots legitimately
     # differ: the sharded path has n_ix * A post-exchange slots (the
-    # production MeshMapper re-routes flagged reads; dryrun just skips)
-    ovf = want[:n_reads_sh, FIELDS.index("anc_ovf")] != 0
+    # production MeshMapper re-routes flagged reads; dryrun just skips).
+    # (field rows travel packed — unpack to address by name)
+    wf = (unpack_fields_wire(want) if want.shape[1] == WIRE_WORDS
+          else want)
+    ovf = wf[:n_reads_sh, FIELDS.index("anc_ovf")] != 0
     np.testing.assert_array_equal(got_sh[~ovf], want[:n_reads_sh][~ovf])
     assert (~ovf).sum() >= n_reads_sh - 2
     say("cross-process sharded-index pipeline (all_to_all over DCN analog): fields match")
