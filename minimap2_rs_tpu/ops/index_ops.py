@@ -224,15 +224,22 @@ def choose_direct_layout(
 ):
     """Pick one (p, S, entry) layout covering every key slice (one per
     shard; a single slice for the unsharded index). byte_cap bounds ONE
-    table — each device holds exactly one. Selection is pure min-bytes
-    (gather cost grows with table bytes; the compact 2-word entry wins
-    exactly when it shrinks the table). Returns None when infeasible."""
+    table — each device holds exactly one.
+
+    Selection minimizes PROBE BYTES (S * entry words fetched per lookup
+    — the dominant gather-traffic term: at the long-read shapes the
+    lookup is the most expensive pipeline stage, and halving S measured
+    18% off the whole lookup+expand stage on v5e) subject to the table
+    staying within min(byte_cap, max(2x the min-bytes layout, 128 MB)):
+    deeper prefixes halve the bucket occupancy long before they double
+    the table, but past that the table (and its H2D load cost) grows
+    geometrically for no probe gain. Returns None when infeasible."""
     sizes = max(max(int(ks.shape[0]) for ks in key_slices), 1)
-    best = None  # (bytes, p, S, entry)
+    cands = []  # (probe_words, nbytes, p, S, entry)
+    best_bytes = None
     p_lo = max(12, int(np.ceil(np.log2(sizes + 1))) - 2)
     p_hi = min(_MAX_PREFIX_BITS, key_bits)
-    # first p where 2-word entries become possible (fp_bits <= 12); the
-    # early break below must not fire before the scan reaches it
+    # first p where 2-word entries become possible (fp_bits <= 12)
     compact_p = key_bits - 12
     for p in range(min(p_lo, key_bits), p_hi + 1):
         maxb = 1
@@ -247,16 +254,25 @@ def choose_direct_layout(
         # compact entries need fp + count to share one u32
         entry = 2 if (fp_bits <= 12 and max_count < (1 << (32 - fp_bits))) else 4
         nbytes = (1 << p) * S * entry * 4
-        if nbytes <= byte_cap and (best is None or nbytes < best[0]):
-            best = (nbytes, p, S, entry)
-        if best is not None and p > p_lo + 4 and (
-            p >= compact_p or compact_p > p_hi
+        cands.append((S * entry, nbytes, p, S, entry))
+        if nbytes <= byte_cap and (best_bytes is None or nbytes < best_bytes):
+            best_bytes = nbytes
+        if (
+            best_bytes is not None
+            and S <= 8
+            and nbytes >= 2 * best_bytes
+            and (p >= compact_p or compact_p > p_hi)
         ):
-            break  # larger p only grows the table once maxb bottoms out
-            # (and the entry 4->2 halving point is already behind us)
-    if best is None:
+            break  # occupancy has bottomed out; larger p only grows the
+            # table (and the entry 4->2 halving point is behind us)
+    if best_bytes is None:
         return None
-    return best[1], best[2], best[3]
+    # strictly below the cap: a table at exactly the 2 GB boundary is
+    # asking for 32-bit edge cases in the transfer path
+    allow = min(byte_cap - 1, max(2 * best_bytes, 128 << 20))
+    feas = [c for c in cands if c[1] <= allow]
+    _pw, _nb, p, S, entry = min(feas)
+    return p, S, entry
 
 
 def fill_direct_table(
