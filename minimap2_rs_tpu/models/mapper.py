@@ -566,7 +566,9 @@ class Mapper:
         on device: odd k through the vectorized window-min
         characterization, even k through the exact scan recurrence
         (ops/sketch_scan.py)."""
-        results: dict[int, list] = {}
+        # indexed by read position; None = not yet resolved (a list
+        # preallocation beats 16k+ dict stores in the drain loop)
+        results: list = [None] * len(reads)
         order = sorted(range(len(reads)), key=lambda i: len(reads[i][1]))
         scalars = chain_scalars_from_params(self.cp)
 
@@ -627,7 +629,7 @@ class Mapper:
         self._drain_rescues(reads, results)
         self._t("rescue", _time.time() - t4)
 
-        parts = [line for i in range(len(reads)) for line in results.get(i, [])]
+        parts = [line for r in results if r for line in r]
         return b"\n".join(parts) + b"\n" if parts else b""
 
     def map_reads(self, reads: list[tuple[str, bytes]]) -> list[str]:
