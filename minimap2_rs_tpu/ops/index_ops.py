@@ -233,7 +233,17 @@ def choose_direct_layout(
     staying within min(byte_cap, max(2x the min-bytes layout, 128 MB)):
     deeper prefixes halve the bucket occupancy long before they double
     the table, but past that the table (and its H2D load cost) grows
-    geometrically for no probe gain. Returns None when infeasible."""
+    geometrically for no probe gain.
+
+    RESTRICTED TO 2-WORD-ENTRY LAYOUTS: 4-word layouts keep the pure
+    min-bytes objective. Probe-minimized 4-word tables (e.g. k=19 at
+    (p=19, S=8)) made the fused mapping program drop exactly one anchor
+    per read on real v5e while the identical HLO on CPU — and the same
+    table through a standalone sketch_to_anchors program on v5e — was
+    correct: a TPU lowering fault in that program/layout combination,
+    not a data bug (the r3 min-bytes layout (17, 16, 4) is bit-correct
+    on hardware, every bench parity gate green). Returns None when
+    infeasible."""
     sizes = max(max(int(ks.shape[0]) for ks in key_slices), 1)
     cands = []  # (probe_words, nbytes, p, S, entry)
     best_bytes = None
@@ -270,8 +280,15 @@ def choose_direct_layout(
     # strictly below the cap: a table at exactly the 2 GB boundary is
     # asking for 32-bit edge cases in the transfer path
     allow = min(byte_cap - 1, max(2 * best_bytes, 128 << 20))
-    feas = [c for c in cands if c[1] <= allow]
-    _pw, _nb, p, S, entry = min(feas)
+    # S >= 8 keeps the selection inside the hardware-validated layout
+    # class (entry-2 rows of >= 16 words; see docstring)
+    feas2 = [c for c in cands if c[1] <= allow and c[4] == 2 and c[3] >= 8]
+    if feas2:
+        _pw, _nb, p, S, entry = min(feas2)
+        return p, S, entry
+    # 4-word layouts: min-bytes only (see docstring)
+    feas4 = [c for c in cands if c[1] <= allow]
+    _nb, p, S, entry = min((c[1], c[2], c[3], c[4]) for c in feas4)
     return p, S, entry
 
 
