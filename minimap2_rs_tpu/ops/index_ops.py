@@ -226,24 +226,19 @@ def choose_direct_layout(
     shard; a single slice for the unsharded index). byte_cap bounds ONE
     table — each device holds exactly one.
 
-    Selection minimizes PROBE BYTES (S * entry words fetched per lookup
-    — the dominant gather-traffic term: at the long-read shapes the
-    lookup is the most expensive pipeline stage, and halving S measured
-    18% off the whole lookup+expand stage on v5e) subject to the table
-    staying within min(byte_cap, max(2x the min-bytes layout, 128 MB)):
-    deeper prefixes halve the bucket occupancy long before they double
-    the table, but past that the table (and its H2D load cost) grows
-    geometrically for no probe gain.
+    Selection is pure min-bytes (gather cost grows with table bytes;
+    the compact 2-word entry wins exactly when it shrinks the table).
 
-    RESTRICTED TO 2-WORD-ENTRY LAYOUTS: 4-word layouts keep the pure
-    min-bytes objective. Probe-minimized 4-word tables (e.g. k=19 at
-    (p=19, S=8)) made the fused mapping program drop exactly one anchor
-    per read on real v5e while the identical HLO on CPU — and the same
-    table through a standalone sketch_to_anchors program on v5e — was
-    correct: a TPU lowering fault in that program/layout combination,
-    not a data bug (the r3 min-bytes layout (17, 16, 4) is bit-correct
-    on hardware, every bench parity gate green). Returns None when
-    infeasible."""
+    A probe-bytes-minimizing objective (deeper prefix, fewer slots per
+    bucket: 18% faster lookup+expand at long-read shapes) was tried in
+    round 4 and REVERTED: probe-optimized tables — (19, 8, 4-word) at
+    k=19, (20, 8, 2-word) at k=15 with 2048-base buckets — made the
+    fused TPU mapping program drop anchors or mis-chain while the
+    identical HLO on CPU, and the same tables through a standalone
+    anchor program on the TPU, were bit-correct: a TPU lowering fault
+    tied to the program x layout combination that no layout-class fence
+    reliably avoids. The min-bytes layouts are green on every hardware
+    parity gate across rounds. Returns None when infeasible."""
     sizes = max(max(int(ks.shape[0]) for ks in key_slices), 1)
     cands = []  # (probe_words, nbytes, p, S, entry)
     best_bytes = None
@@ -279,16 +274,8 @@ def choose_direct_layout(
         return None
     # strictly below the cap: a table at exactly the 2 GB boundary is
     # asking for 32-bit edge cases in the transfer path
-    allow = min(byte_cap - 1, max(2 * best_bytes, 128 << 20))
-    # S >= 8 keeps the selection inside the hardware-validated layout
-    # class (entry-2 rows of >= 16 words; see docstring)
-    feas2 = [c for c in cands if c[1] <= allow and c[4] == 2 and c[3] >= 8]
-    if feas2:
-        _pw, _nb, p, S, entry = min(feas2)
-        return p, S, entry
-    # 4-word layouts: min-bytes only (see docstring)
-    feas4 = [c for c in cands if c[1] <= allow]
-    _nb, p, S, entry = min((c[1], c[2], c[3], c[4]) for c in feas4)
+    feas = [c for c in cands if c[1] < byte_cap]
+    _nb, p, S, entry = min((c[1], c[2], c[3], c[4]) for c in feas)
     return p, S, entry
 
 
