@@ -69,6 +69,9 @@ class DeviceIndex:
     #     carry key U64-max (no real <=56-bit key matches) and count 0.
     # Empty (0, x) when the byte cap forces the two-gather fallback.
     dm: jnp.ndarray = None
+    # compact-entry start plane ((2^dm_bits * dm_slots,) u32): phase 2 of
+    # the two-phase probe (None for 4-word layouts / no dm table)
+    dm_start: jnp.ndarray = None
     prefix_shift: int = 0   # static: key >> shift yields the prefix
     bucket_slots: int = 8   # static: rows fetched per fallback lookup
     n_keys: int = 0         # static: number of real (unpadded) key rows
@@ -79,7 +82,7 @@ class DeviceIndex:
 
     def tree_flatten(self):
         return (
-            (self.kv, self.pos, self.prefix, self.dm),
+            (self.kv, self.pos, self.prefix, self.dm, self.dm_start),
             (self.prefix_shift, self.bucket_slots, self.n_keys,
              self.dm_bits, self.dm_slots, self.dm_entry, self.dm_fp_bits),
         )
@@ -131,7 +134,7 @@ class DeviceIndex:
         pos_np[1, :P] = (positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         kv_np[: keys.shape[0], 2] = starts.astype(np.uint32)
         kv_np[: keys.shape[0], 3] = counts.astype(np.uint32)
-        dm_np, dm_p, dm_S, dm_entry = plan_direct_layout(
+        dm_np, dm_start_np, dm_p, dm_S, dm_entry = plan_direct_layout(
             keys, starts, counts, key_bits
         )
         if dm_S:
@@ -147,6 +150,8 @@ class DeviceIndex:
             pos=jnp.asarray(pos_np),
             prefix=jnp.asarray(prefix_np),
             dm=jnp.asarray(dm_np),
+            dm_start=(jnp.asarray(dm_start_np)
+                      if dm_start_np is not None else None),
             prefix_shift=shift,
             bucket_slots=S,
             n_keys=int(keys.shape[0]),
@@ -210,12 +215,13 @@ def plan_direct_layout(
     when over cap."""
     U = int(keys.shape[0])
     if U == 0:
-        return np.zeros((0, 4), dtype=np.uint32), 0, 0, 4
+        return np.zeros((0, 4), dtype=np.uint32), None, 0, 0, 4
     layout = choose_direct_layout([keys], key_bits, int(counts.max()), byte_cap)
     if layout is None:
-        return np.zeros((0, 4), dtype=np.uint32), 0, 0, 4
+        return np.zeros((0, 4), dtype=np.uint32), None, 0, 0, 4
     p, S, entry = layout
-    return fill_direct_table(keys, starts, counts, key_bits, p, S, entry), p, S, entry
+    dm, dm_start = fill_direct_table(keys, starts, counts, key_bits, p, S, entry)
+    return dm, dm_start, p, S, entry
 
 
 def choose_direct_layout(
@@ -298,18 +304,25 @@ def fill_direct_table(
     rank[order] = np.arange(U) - first_sorted
     slot = pref * S + rank
     if entry == 2:
-        dm = np.zeros(((1 << p) * S, 2), dtype=np.uint32)
+        # TWO-PHASE probe layout: the S meta words [fp | count << fp_bits]
+        # live in their own (2^p, S) table (the only bytes every probe
+        # gathers); the start words live in a flat (2^p * S,) plane
+        # fetched by ONE 1-D gather at the hit slot. Halves probe
+        # traffic vs packed [meta, start] rows: 1.48x on the headline
+        # probe pattern (v5e, /tmp gather micro-bench r4).
+        meta = np.zeros(((1 << p) * S,), dtype=np.uint32)
+        start_plane = np.zeros(((1 << p) * S,), dtype=np.uint32)
         fp = (keys >> np.uint64(p)).astype(np.uint32)
-        dm[slot, 0] = fp | (counts.astype(np.uint32) << np.uint32(fp_bits))
-        dm[slot, 1] = starts.astype(np.uint32)
-    else:
-        dm = np.full(((1 << p) * S, 4), 0xFFFFFFFF, dtype=np.uint32)
-        dm[:, 3] = 0
-        dm[slot, 0] = (keys >> np.uint64(32)).astype(np.uint32)
-        dm[slot, 1] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        dm[slot, 2] = starts.astype(np.uint32)
-        dm[slot, 3] = counts.astype(np.uint32)
-    return dm.reshape(1 << p, entry * S)
+        meta[slot] = fp | (counts.astype(np.uint32) << np.uint32(fp_bits))
+        start_plane[slot] = starts.astype(np.uint32)
+        return meta.reshape(1 << p, S), start_plane
+    dm = np.full(((1 << p) * S, 4), 0xFFFFFFFF, dtype=np.uint32)
+    dm[:, 3] = 0
+    dm[slot, 0] = (keys >> np.uint64(32)).astype(np.uint32)
+    dm[slot, 1] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    dm[slot, 2] = starts.astype(np.uint32)
+    dm[slot, 3] = counts.astype(np.uint32)
+    return dm.reshape(1 << p, entry * S), None
 
 
 def gather_rows(table: jnp.ndarray, base: jnp.ndarray, S: int) -> jnp.ndarray:
@@ -333,17 +346,24 @@ def index_lookup(idx: DeviceIndex, q: U64Pair):
     when absent (Index::get, index.rs:143-154). ONE row gather on the
     direct-mapped table; two-gather prefix fallback otherwise."""
     if idx.dm is not None and idx.dm_slots and idx.dm_entry == 2:
+        # two-phase probe: gather the S meta words, find the (unique)
+        # hit slot, then ONE 1-D gather for its start word — half the
+        # probe bytes of packed [meta, start] rows
         S = idx.dm_slots
         fpb = idx.dm_fp_bits
-        p = (q.lo & U32((1 << idx.dm_bits) - 1)).astype(I32)
-        wide = gather_rows(idx.dm, p, 1)  # (..., 1, 2*S)
-        rows = wide.reshape(*p.shape, S, 2)
-        meta = rows[..., 0]
+        p = jnp.clip(
+            (q.lo & U32((1 << idx.dm_bits) - 1)).astype(I32),
+            0, idx.dm.shape[0] - 1,
+        )
+        meta = idx.dm[p]  # (..., S) row gather
         fpm = U32((1 << fpb) - 1)
         fp = u64.shr(q, idx.dm_bits).lo & fpm
         hit = (meta & fpm) == fp[..., None]
+        # distinct keys in one bucket have distinct fps: <= 1 hit
+        slot = jnp.argmax(hit, axis=-1).astype(I32)
+        found = jnp.any(hit, axis=-1)
+        start = jnp.where(found, idx.dm_start[p * S + slot], U32(0))
         # empty slots carry count == 0, which is already "absent"
-        start = jnp.max(jnp.where(hit, rows[..., 1], U32(0)), axis=-1)
         count = jnp.max(jnp.where(hit, meta >> U32(fpb), U32(0)), axis=-1)
         return (
             jax.lax.bitcast_convert_type(start, I32),

@@ -40,6 +40,7 @@ class ShardedDeviceIndex:
     pos: jnp.ndarray     # (D, 2, P_loc) uint32 planes [rid], [pos<<1|strand]
     prefix: jnp.ndarray  # (D, 2^bits + 1) int32 per-shard prefix lower bounds
     dm: jnp.ndarray = None  # (D, 2^dm_bits, entry*S) per-shard direct tables
+    dm_start: jnp.ndarray = None  # (D, 2^dm_bits * S) compact start planes
     prefix_shift: int = 0
     bucket_slots: int = 8
     n_keys_local: int = 0  # static: unpadded rows per shard (upper bound)
@@ -50,7 +51,7 @@ class ShardedDeviceIndex:
 
     def tree_flatten(self):
         return (
-            (self.kv, self.pos, self.prefix, self.dm),
+            (self.kv, self.pos, self.prefix, self.dm, self.dm_start),
             (self.prefix_shift, self.bucket_slots, self.n_keys_local,
              self.dm_bits, self.dm_slots, self.dm_entry, self.dm_fp_bits),
         )
@@ -95,6 +96,8 @@ class ShardedDeviceIndex:
         return DeviceIndex(
             kv=self.kv[0], pos=self.pos[0], prefix=self.prefix[0],
             dm=self.dm[0] if self.dm is not None and self.dm_slots else None,
+            dm_start=(self.dm_start[0]
+                      if self.dm_start is not None and self.dm_slots else None),
             prefix_shift=self.prefix_shift, bucket_slots=self.bucket_slots,
             n_keys=self.n_keys_local, dm_bits=self.dm_bits,
             dm_slots=self.dm_slots, dm_entry=self.dm_entry,
@@ -170,20 +173,25 @@ class ShardedDeviceIndex:
         )
         if layout is not None:
             dm_p, dm_S, dm_entry = layout
-            dm = np.stack([
+            built = [
                 fill_direct_table(
                     keys[lo_k:hi_k], starts[lo_k:hi_k] - p_lo,
                     counts[lo_k:hi_k], key_bits, dm_p, dm_S, dm_entry,
                 )
                 for (lo_k, hi_k, p_lo, _ph) in slices
-            ])
+            ]
+            dm = np.stack([b[0] for b in built])
+            dm_start = (np.stack([b[1] for b in built])
+                        if dm_entry == 2 else None)
         else:
             dm_p = dm_S = 0
             dm_entry = 4
             dm = np.zeros((n_shards, 0, 4), dtype=np.uint32)
+            dm_start = None
         return ShardedDeviceIndex(
             kv=jnp.asarray(kv), pos=jnp.asarray(pos), prefix=jnp.asarray(ptab),
             dm=jnp.asarray(dm),
+            dm_start=jnp.asarray(dm_start) if dm_start is not None else None,
             prefix_shift=shift, bucket_slots=S, n_keys_local=u_loc,
             dm_bits=dm_p, dm_slots=dm_S, dm_entry=dm_entry,
             dm_fp_bits=max(0, key_bits - dm_p),
