@@ -246,7 +246,7 @@ def choose_direct_layout(
     reliably avoids. The min-bytes layouts are green on every hardware
     parity gate across rounds. Returns None when infeasible."""
     sizes = max(max(int(ks.shape[0]) for ks in key_slices), 1)
-    cands = []  # (probe_words, nbytes, p, S, entry)
+    cands = []  # (nbytes, p, S, entry)
     best_bytes = None
     p_lo = max(12, int(np.ceil(np.log2(sizes + 1))) - 2)
     p_hi = min(_MAX_PREFIX_BITS, key_bits)
@@ -265,8 +265,12 @@ def choose_direct_layout(
         # compact entries need fp + count to share one u32
         entry = 2 if (fp_bits <= 12 and max_count < (1 << (32 - fp_bits))) else 4
         nbytes = (1 << p) * S * entry * 4
-        cands.append((S * entry, nbytes, p, S, entry))
-        if nbytes <= byte_cap and (best_bytes is None or nbytes < best_bytes):
+        cands.append((nbytes, p, S, entry))
+        # strictly below the cap (matching the final selection below): a
+        # table at exactly the 2 GB boundary is asking for 32-bit edge
+        # cases in the transfer path, and counting it as feasible here
+        # while filtering it out below would crash min() on empty feas
+        if nbytes < byte_cap and (best_bytes is None or nbytes < best_bytes):
             best_bytes = nbytes
         if (
             best_bytes is not None
@@ -278,10 +282,8 @@ def choose_direct_layout(
             # table (and the entry 4->2 halving point is behind us)
     if best_bytes is None:
         return None
-    # strictly below the cap: a table at exactly the 2 GB boundary is
-    # asking for 32-bit edge cases in the transfer path
-    feas = [c for c in cands if c[1] < byte_cap]
-    _nb, p, S, entry = min((c[1], c[2], c[3], c[4]) for c in feas)
+    feas = [c for c in cands if c[0] < byte_cap]
+    _nb, p, S, entry = min(feas)
     return p, S, entry
 
 

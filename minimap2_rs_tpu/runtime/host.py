@@ -227,10 +227,16 @@ def _madv_huge(arr: np.ndarray) -> np.ndarray:
     try:
         libc = ctypes.CDLL(None, use_errno=True)
         addr = arr.ctypes.data
-        base = addr & ~((1 << 21) - 1)
-        # MADV_HUGEPAGE == 14 on linux
-        libc.madvise(ctypes.c_void_p(base),
-                     ctypes.c_size_t(arr.nbytes + (addr - base)), 14)
+        # round the start UP to the first 2 MiB boundary inside the
+        # array: advising the boundary below would cover bytes before
+        # the allocation — the whole call fails with ENOMEM if that
+        # preceding page is unmapped, and touches unrelated allocations
+        # when it is mapped
+        base = (addr + (1 << 21) - 1) & ~((1 << 21) - 1)
+        length = arr.nbytes - (base - addr)
+        if length > 0:
+            # MADV_HUGEPAGE == 14 on linux
+            libc.madvise(ctypes.c_void_p(base), ctypes.c_size_t(length), 14)
     except Exception:
         pass
     return arr

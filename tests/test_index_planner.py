@@ -70,6 +70,17 @@ def test_byte_cap_fallback_two_gather(monkeypatch):
     _check_lookups(dev, keys, starts, counts, positions, seed=2)
 
 
+def test_exact_cap_layout_returns_none():
+    """A candidate landing EXACTLY on byte_cap is infeasible (the cap is
+    strict); the planner must return None — not raise — when no layout
+    sits strictly below it (ADVICE r4: the feasibility accumulator used
+    <= while the final filter used <, so min() crashed on empty feas)."""
+    keys = np.arange(1 << 15, dtype=np.uint64)
+    # every candidate table is a power-of-two byte size, so a
+    # power-of-two cap is exactly reachable
+    assert choose_direct_layout([keys], 28, 1, byte_cap=1 << 20) is None
+
+
 def test_direct_layouts_across_scales():
     """Layouts stay feasible and correct from small to large-genome
     distinct-key counts (512k keys ~ a 3 Mbp-distinct regime; the table
