@@ -653,6 +653,24 @@ class Mapper:
         return M, A, window, B
 
     @staticmethod
+    def _quantize_b(n: int, b_max: int) -> int:
+        """Padded batch rows for an n-read chunk: the smallest 1.5x-step
+        capacity (128x{1,2,3,4,6,8,...}) >= n, capped at b_max. Padded
+        rows are NOT free — the minimizer/anchor sorts and the routed
+        expansion scale with the padded B — so a 114-read long-read
+        group must not ride a 1280-row program (that exact shape made
+        the r4 long-read bench pay ~14x on its dominant stage). The
+        1.5x quantization bounds padding waste (<= 1.5x) AND the number
+        of distinct compiled shapes (~2 per octave)."""
+        if n >= b_max:
+            return b_max
+        c = 128
+        while c < n:
+            c2 = c + (c >> 1) if c >= 256 else c * 2
+            c = c2 // 128 * 128
+        return min(c, b_max)
+
+    @staticmethod
     def _dual_band(A: int) -> bool:
         """Band policy: dual-band (both bw bands in one call, rescue
         resolved on device) when the chain DP is cheap — the static
@@ -664,13 +682,9 @@ class Mapper:
         return A < _LANE_LAYOUT_MIN_A
 
     def _submit_groups(self, reads, groups, scalars, lite, mult=None,
-                       b_cap=None, band="auto"):
+                       band="auto"):
         """groups: {bucket: [ri...]} with uniform `mult`, or
         {(bucket, mult): [ri...]} when mult is None.
-        b_cap shrinks the padded batch dimension toward the group size
-        (rounded up to 128) — the re-run queues carry a few hundred reads
-        at most, and a full-B padded call costs ~B regardless of how few
-        rows are real.
         band: "auto" applies _dual_band per bucket; "tier2" forces the
         dual-band program and routes residual overflow to the host
         pipeline (the 4x re-runs must neither requeue nor start another
@@ -679,7 +693,7 @@ class Mapper:
         pending = []
         for gkey, idxs in groups.items():
             bucket, gmult = gkey if mult is None else (gkey, mult)
-            M, A, window, B = self._shapes_for(bucket, gmult)
+            M, A, window, B_max = self._shapes_for(bucket, gmult)
             if band == "tier2":
                 wide_prog, mode = True, "tier2"
             elif band == "auto" and self._dual_band(A):
@@ -688,20 +702,23 @@ class Mapper:
                 wide_prog, mode = False, "wide"
             else:
                 wide_prog, mode = False, "lazy"
-            if b_cap is not None:
-                B = min(B, max(128, -(-len(idxs) // 128) * 128))
             if lite and gmult == 1:
                 # long-read fast path: the lite stage flags reads whose
                 # truncated window loses an in-band predecessor exactly
                 # (win_ovf, per band) and they re-run at the full window
                 # in the 4x tier
                 window = min(window, self.lite_window_cap)
-            for c0 in range(0, len(idxs), B):
-                chunk = idxs[c0 : c0 + B]
-                # pad the batch dimension to a fixed size so every call
-                # reuses one compiled program per bucket
+            for c0 in range(0, len(idxs), B_max):
+                chunk = idxs[c0 : c0 + B_max]
+                # pad the batch dimension to the quantized chunk
+                # capacity: full chunks reuse one compiled program per
+                # bucket; partial chunks (group tails, the long-read
+                # regime, requeues) take the smallest 1.5x-step shape
+                # that fits instead of paying B_max padded rows of
+                # sort/expand compute.
                 # uint8 on the wire: host->device transfers through the
                 # relay are latency+bandwidth bound
+                B = self._quantize_b(len(chunk), B_max)
                 lengths = np.zeros(B, dtype=np.int32)
                 lengths[: len(chunk)] = [len(reads[ri][1]) for ri in chunk]
                 packed4 = None
@@ -777,7 +794,7 @@ class Mapper:
             bucket = next(b for b in self.buckets if L <= b)
             groups.setdefault(bucket, []).append(ri)
         pending = self._submit_groups(
-            reads, groups, self._scalars_wide, lite, mult=1, b_cap=True,
+            reads, groups, self._scalars_wide, lite, mult=1,
             band="widepass",
         )
         self._drain_pending(reads, pending, results, lite)
@@ -837,7 +854,7 @@ class Mapper:
             bucket = next(b for b in self.buckets if L <= b)
             groups.setdefault(bucket, []).append(ri)
         pending = self._submit_groups(reads, groups, scalars, lite, mult=4,
-                                      b_cap=True, band="tier2")
+                                      band="tier2")
         self._drain_pending(reads, pending, results, lite)
 
     # ------------------------------------------------------------------
