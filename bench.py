@@ -250,12 +250,32 @@ def main() -> int:
         )
         lrl = [(n, s) for n, s, *_ in lreads]
         mapper.map_reads(lrl)  # warmup long buckets
-        tl, llines, _ = _median3(lambda: mapper.map_reads(lrl))
+
+        def _one_lpass():
+            mapper.stats = {}
+            return mapper.map_reads(lrl)
+
+        tl, llines, _ = _median3(_one_lpass)
         lnames = {l.split("\t", 1)[0] for l in llines}
         l_bp = sum(len(s) for n, s in lrl if n in lnames)
         extra["longread_bp_per_s"] = round(l_bp / tl, 1)
         extra["longread_vs_target"] = round(l_bp / tl / target, 4)
+        # per-stage breakdown of the LAST pass: the r4 regression (20.4
+        # -> 9.09 M bp/s) shipped as a single opaque number; this makes
+        # any future one attributable from the artifact alone
+        extra["longread_stage_breakdown_s"] = {
+            k: round(v, 4) for k, v in mapper.stats.items()
+        }
         log(f"longread: {l_bp/tl/1e6:.1f} Mbp/s over {len(lrl)} reads")
+        # HARDWARE parity at lane-kernel shapes: reads of 5-20 kb land at
+        # A >= 1024, so this gate is the only place the lane Pallas chain
+        # kernels, the lazy-wide phase-2.2 re-run, and the per-band
+        # win_ovf logic are Mosaic-compiled and byte-compared on real
+        # TPU (every other parity config stays <= 4 kb -> sublane
+        # kernels; the r4 probe-layout episode proved TPU-only
+        # miscompiles are real, ops/index_ops.py:237-247)
+        parity_check("longread", mapper, idx, lrl[::6], llines, cp, mp)
+        extra["parity_reads"] += extra["parity_longread"]
 
     # ---- 5. large genome (HARD: failures exit nonzero) ----------------
     if not args.skip_large:
