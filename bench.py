@@ -141,7 +141,34 @@ def main() -> int:
         mapper.stats = {}
         return mapper.map_reads_paf(rl)
 
-    dt, blob, times = _median5(_one_pass)
+    # relay sync-floor probes interleaved between passes: if a slow pass
+    # coincides with a high adjacent floor sample, the spread is shared-
+    # relay noise, not a stall in our pass (VERDICT r4 weak item 6)
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    _probe_x = _jnp.zeros((8, 128), _jnp.int32)
+    _probe = _jax.jit(lambda x: _jnp.sum(x))
+    int(_probe(_probe_x))  # compile
+
+    def _floor_sample():
+        s = []
+        for _ in range(3):
+            t0 = time.time()
+            int(_probe(_probe_x))
+            s.append(time.time() - t0)
+        return sorted(s)[1]
+
+    times = []
+    floors = [round(_floor_sample() * 1e3, 1)]
+    blob = None
+    for _ in range(5):
+        t0 = time.time()
+        blob = _one_pass()
+        times.append(time.time() - t0)
+        floors.append(round(_floor_sample() * 1e3, 1))
+    dt = sorted(times)[2]
+    extra["pass_floor_samples_ms"] = floors
     lines = blob.decode().split("\n")[:-1] if blob else []
     log(f"mapped {len(rl)} reads ({total_bp} bp) in {dt:.2f}s "
         f"(passes: {[round(t, 2) for t in times]}) -> {len(lines)} records")
@@ -400,6 +427,23 @@ def main() -> int:
         m_sp.map_reads(rl_sp)
         parity_check("skipprune", m_sp, idx, rl_sp, m_sp.map_reads(rl_sp),
                      cp, mp)
+        # the mode's cost at a production shape (VERDICT r4 item 8):
+        # users who need bit-exact max_chain_skip replication pay the
+        # serial lax.scan kernel — one timed pass documents the price
+        rl_spt = rl[:2048]
+        m_spt = Mapper.from_oracle_index(idx, cp, mp, batch_size=2048)
+        m_spt.map_reads_paf(rl_spt)  # warmup/compile
+        t0 = time.time()
+        spb = m_spt.map_reads_paf(rl_spt)
+        t_sp = time.time() - t0
+        sp_names = {
+            l.split("\t", 1)[0]
+            for l in (spb.decode().split("\n")[:-1] if spb else [])
+        }
+        sp_bp = sum(len(s) for n, s in rl_spt if n in sp_names)
+        extra["skipprune_bp_per_s"] = round(sp_bp / t_sp, 1)
+        log(f"skip-prune mode: {sp_bp/t_sp/1e6:.1f} Mbp/s "
+            f"({len(rl_spt)} reads, one pass)")
     finally:
         del os.environ["MM2T_SKIP_PRUNE"]
 

@@ -60,6 +60,18 @@ class MeshMapper(Mapper):
         B = max(step, B // step * step)
         return M, A, window, B
 
+    def _quantize_b(self, n: int, b_max: int):
+        """Chunk capacities must additionally divide over the mesh step
+        (dp * ix) for shard_map; quantize to the lcm of the base 128
+        unit and the step, falling back to b_max (already
+        step-divisible) when that overshoots."""
+        from math import gcd
+
+        step = self._n_dp * self._n_ix
+        unit = 128 * step // gcd(128, step)
+        q = -(-Mapper._quantize_b(n, b_max) // unit) * unit
+        return q if q <= b_max else b_max
+
     def _sharded_index(self):
         if not hasattr(self, "_sidx"):
             from ..parallel.sharded_index import ShardedDeviceIndex

@@ -124,6 +124,15 @@ class DeviceIndex:
         """Build the interleaved tables from host uint64 arrays. key_bits
         bounds the hashed key width (2k)."""
         kv_np, prefix_np, shift, S = plan_prefix_layout(keys, key_bits)
+        dm_np, dm_start_np, dm_p, dm_S, dm_entry, pos_perm = plan_direct_layout(
+            keys, starts, counts, key_bits
+        )
+        if pos_perm is not None:
+            # fused layout: the device position planes live in
+            # bucket-grouped order (the dm rows' base/offsets address
+            # THIS order); the host-side OracleIndex keeps the original
+            # key-sorted layout for serialization and the host pipeline
+            positions = positions[pos_perm]
         P = positions.shape[0]
         # np.empty: both planes are fully overwritten below when P >= 1;
         # only the P == 0 sentinel column needs explicit zeroing
@@ -134,9 +143,6 @@ class DeviceIndex:
         pos_np[1, :P] = (positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         kv_np[: keys.shape[0], 2] = starts.astype(np.uint32)
         kv_np[: keys.shape[0], 3] = counts.astype(np.uint32)
-        dm_np, dm_start_np, dm_p, dm_S, dm_entry = plan_direct_layout(
-            keys, starts, counts, key_bits
-        )
         if dm_S:
             # index_lookup never touches kv/prefix once dm exists; keep
             # only sentinel rows on device (the full kv would cost up to
@@ -211,17 +217,70 @@ def plan_direct_layout(
     entry [fp | count << fp_bits, start] whenever the remaining HIGH key
     bits (fp = key >> p, fp_bits = key_bits - p <= 12) and the largest
     occurrence count fit one u32; else 4-word [key_hi, key_lo, start,
-    count] entries. Returns (table, p, S, entry_words); (empty, 0, 0, 4)
+    count] entries.
+
+    When the compact entry fits, the single-chip planner upgrades it to
+    the FUSED layout (entry sentinel 3): one (2^p, S+1) row [S metas |
+    pos_base] per bucket, with the POSITIONS table permuted to
+    bucket-grouped order so `start` is derived in-register (base + the
+    exclusive prefix sum of the gathered slot counts) — ONE gather row
+    per probe instead of meta row + start plane. Lookups on the v5e are
+    gather-ROW-count bound (~10-20 ns/row regardless of width), and the
+    lookup stage was the single largest device term of the r4 headline
+    pass (prof_headline_stages.py: 57 ms of a ~120 ms call).
+
+    Returns (table, dm_start_or_None, p, S, entry_words, pos_perm):
+    pos_perm is the permutation the caller must apply to the positions
+    array (None for non-fused layouts); (empty, None, 0, 0, 4, None)
     when over cap."""
     U = int(keys.shape[0])
     if U == 0:
-        return np.zeros((0, 4), dtype=np.uint32), None, 0, 0, 4
+        return np.zeros((0, 4), dtype=np.uint32), None, 0, 0, 4, None
     layout = choose_direct_layout([keys], key_bits, int(counts.max()), byte_cap)
     if layout is None:
-        return np.zeros((0, 4), dtype=np.uint32), None, 0, 0, 4
+        return np.zeros((0, 4), dtype=np.uint32), None, 0, 0, 4, None
     p, S, entry = layout
+    if entry == 2:
+        dm, pos_perm = fill_direct_table_fused(keys, starts, counts, key_bits, p, S)
+        return dm, None, p, S, 3, pos_perm
     dm, dm_start = fill_direct_table(keys, starts, counts, key_bits, p, S, entry)
-    return dm, dm_start, p, S, entry
+    return dm, dm_start, p, S, entry, None
+
+
+def fill_direct_table_fused(
+    keys: np.ndarray, starts: np.ndarray, counts: np.ndarray,
+    key_bits: int, p: int, S: int,
+):
+    """Build the fused single-gather table: row p = [meta_0..meta_{S-1},
+    base] where meta_s = fp | count << fp_bits (the compact entry) and
+    base is bucket p's first position offset in the BUCKET-GROUPED
+    positions table. Returns (dm (2^p, S+1) u32, pos_perm int64): the
+    caller must reorder its positions array as positions[pos_perm] —
+    bucket ascending, keys by ascending full key within a bucket (the
+    same rank order that assigns slots), original order within a key."""
+    U = int(keys.shape[0])
+    fp_bits = key_bits - p
+    pref = (keys & np.uint64((1 << p) - 1)).astype(np.int64)
+    # keys are sorted by full key, so a stable bucket sort groups each
+    # bucket's keys in ascending-key order == the slot rank order
+    order = np.argsort(pref, kind="stable")
+    sp = pref[order]
+    first_sorted = np.searchsorted(sp, sp, side="left")
+    rank = np.arange(U, dtype=np.int64) - first_sorted
+    cnt_o = counts[order].astype(np.int64)
+    out_off = np.zeros(U + 1, dtype=np.int64)
+    np.cumsum(cnt_o, out=out_off[1:])
+    pos_perm = (
+        np.repeat(starts[order].astype(np.int64) - out_off[:-1], cnt_o)
+        + np.arange(out_off[-1], dtype=np.int64)
+    )
+    dm = np.zeros((1 << p, S + 1), dtype=np.uint32)
+    fp_o = (keys[order] >> np.uint64(p)).astype(np.uint32)
+    dm[sp, rank] = fp_o | (cnt_o.astype(np.uint32) << np.uint32(fp_bits))
+    # every key in a bucket writes the same base; absent buckets keep 0
+    # (their probes see count == 0, so the garbage start is masked)
+    dm[sp, S] = out_off[first_sorted].astype(np.uint32)
+    return dm, pos_perm
 
 
 def choose_direct_layout(
@@ -347,6 +406,41 @@ def index_lookup(idx: DeviceIndex, q: U64Pair):
     """For each query key: (start, count) of its occurrence block, count 0
     when absent (Index::get, index.rs:143-154). ONE row gather on the
     direct-mapped table; two-gather prefix fallback otherwise."""
+    if idx.dm is not None and idx.dm_slots and idx.dm_entry == 3:
+        # fused single-gather probe: the row carries the S compact metas
+        # PLUS the bucket's position base; start = base + the exclusive
+        # prefix sum of the earlier slots' counts (slots are rank-dense,
+        # so every slot before the hit is a real key of this bucket).
+        # Lookups are gather-row bound, so one (S+1)-word row beats the
+        # meta-row + start-plane pair (~2x fewer rows).
+        S = idx.dm_slots
+        fpb = idx.dm_fp_bits
+        p = jnp.clip(
+            (q.lo & U32((1 << idx.dm_bits) - 1)).astype(I32),
+            0, idx.dm.shape[0] - 1,
+        )
+        row = idx.dm[p]  # (..., S + 1) row gather
+        meta = row[..., :S]
+        base = row[..., S]
+        fpm = U32((1 << fpb) - 1)
+        fp = u64.shr(q, idx.dm_bits).lo & fpm
+        hit = (meta & fpm) == fp[..., None]
+        cnts = meta >> U32(fpb)
+        # distinct keys in one bucket have distinct fps: <= 1 real hit
+        # (an fp == 0 query can also "hit" empty slots, but those carry
+        # count == 0 and sit after every real slot, so argmax finds the
+        # real slot first and the count max ignores them)
+        slot = jnp.argmax(hit, axis=-1).astype(I32)
+        sidx = jax.lax.broadcasted_iota(I32, meta.shape, meta.ndim - 1)
+        before = jnp.sum(
+            jnp.where(sidx < slot[..., None], cnts, U32(0)), axis=-1
+        )
+        count = jnp.max(jnp.where(hit, cnts, U32(0)), axis=-1)
+        start = jnp.where(count > U32(0), base + before, U32(0))
+        return (
+            jax.lax.bitcast_convert_type(start, I32),
+            jax.lax.bitcast_convert_type(count, I32),
+        )
     if idx.dm is not None and idx.dm_slots and idx.dm_entry == 2:
         # two-phase probe: gather the S meta words, find the (unique)
         # hit slot, then ONE 1-D gather for its start word — half the

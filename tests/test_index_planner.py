@@ -47,13 +47,27 @@ def _check_lookups(dev, keys, starts, counts, positions, seed):
         jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
     )
     start, count = map(np.asarray, index_lookup(dev, qp))
+    # compare the position CONTENT the (start, count) block addresses in
+    # the device's resident planes — the fused dm layout stores the
+    # positions bucket-grouped, so raw starts differ from the host's
+    # key-sorted layout by a permutation while the addressed block must
+    # hold exactly the same values in the same order
+    dev_pos = (
+        np.asarray(dev.pos[0]).astype(np.uint64) << np.uint64(32)
+    ) | np.asarray(dev.pos[1]).astype(np.uint64)
     pos_map = {int(k): (int(s), int(c)) for k, s, c in zip(keys, starts, counts)}
     for i, key in enumerate(q):
         want = pos_map.get(int(key))
         if want is None:
             assert count[i] == 0, (i, key)
         else:
-            assert (start[i], count[i]) == want, (i, key)
+            s0, c0 = want
+            assert count[i] == c0, (i, key)
+            np.testing.assert_array_equal(
+                dev_pos[start[i] : start[i] + c0],
+                positions[s0 : s0 + c0],
+                err_msg=f"query {i} key {key}",
+            )
 
 
 def test_byte_cap_fallback_two_gather(monkeypatch):
@@ -95,7 +109,10 @@ def test_direct_layouts_across_scales():
         dev = DeviceIndex.from_host(
             keys, starts, counts, positions, key_bits=KEY_BITS
         )
-        assert dev.dm_slots == S and dev.dm_bits == p and dev.dm_entry == entry
+        # from_host upgrades compact 2-word layouts to the fused
+        # single-gather layout (entry sentinel 3)
+        assert dev.dm_slots == S and dev.dm_bits == p
+        assert dev.dm_entry == (3 if entry == 2 else entry)
         _check_lookups(dev, keys, starts, counts, positions, seed=seed + 10)
 
 
