@@ -347,7 +347,8 @@ class Mapper:
     @classmethod
     def from_oracle_index(cls, idx: OracleIndex, cp: ChainParams, mp: MapParams = MapParams(), **kw) -> "Mapper":
         dev = DeviceIndex.from_host(
-            idx.keys, idx.starts, idx.counts, idx.positions, key_bits=2 * idx.k
+            idx.keys, idx.starts, idx.counts, idx.positions, key_bits=2 * idx.k,
+            seq_lens=[s.length for s in idx.seq],
         )
         mid_occ = max(idx.calc_mid_occ(mp.frac_top_repetitive), mp.mid_occ_floor)
         return cls(idx=idx, dev_idx=dev, cp=cp, mp=mp, mid_occ=mid_occ, **kw)

@@ -72,6 +72,9 @@ class DeviceIndex:
     # compact-entry start plane ((2^dm_bits * dm_slots,) u32): phase 2 of
     # the two-phase probe (None for 4-word layouts / no dm table)
     dm_start: jnp.ndarray = None
+    # packed-pos mode: (n_seq + 1,) u32 cumulative sequence lengths for
+    # on-device rid/rpos recovery (None for the two-plane layout)
+    seq_cum: jnp.ndarray = None
     prefix_shift: int = 0   # static: key >> shift yields the prefix
     bucket_slots: int = 8   # static: rows fetched per fallback lookup
     n_keys: int = 0         # static: number of real (unpadded) key rows
@@ -79,19 +82,27 @@ class DeviceIndex:
     dm_slots: int = 0       # static: entries per dm row (0 = no dm table)
     dm_entry: int = 4       # static: u32 words per entry (2 or 4)
     dm_fp_bits: int = 0     # static: compact-entry fingerprint width
+    # static: pos is ONE (1, P) plane of abs_pos<<1|strand words (the
+    # anchor expansion recovers rid/rpos from seq_cum in-register) — one
+    # gather row per position instead of two plane gathers
+    pos_packed: bool = False
+    n_seq: int = 0          # static: sequence count (packed-pos mode)
 
     def tree_flatten(self):
         return (
-            (self.kv, self.pos, self.prefix, self.dm, self.dm_start),
+            (self.kv, self.pos, self.prefix, self.dm, self.dm_start,
+             self.seq_cum),
             (self.prefix_shift, self.bucket_slots, self.n_keys,
-             self.dm_bits, self.dm_slots, self.dm_entry, self.dm_fp_bits),
+             self.dm_bits, self.dm_slots, self.dm_entry, self.dm_fp_bits,
+             self.pos_packed, self.n_seq),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, prefix_shift=aux[0], bucket_slots=aux[1],
                    n_keys=aux[2], dm_bits=aux[3], dm_slots=aux[4],
-                   dm_entry=aux[5], dm_fp_bits=aux[6])
+                   dm_entry=aux[5], dm_fp_bits=aux[6], pos_packed=aux[7],
+                   n_seq=aux[8])
 
     # ---- compatibility views over the interleaved tables ---------------
     @property
@@ -120,9 +131,16 @@ class DeviceIndex:
 
     @staticmethod
     def from_host(keys: np.ndarray, starts: np.ndarray, counts: np.ndarray,
-                  positions: np.ndarray, key_bits: int = 56) -> "DeviceIndex":
+                  positions: np.ndarray, key_bits: int = 56,
+                  seq_lens=None) -> "DeviceIndex":
         """Build the interleaved tables from host uint64 arrays. key_bits
-        bounds the hashed key width (2k)."""
+        bounds the hashed key width (2k). seq_lens (per-sequence target
+        lengths, optional) enables the PACKED position plane: one
+        abs_pos<<1|strand u32 word per position — halving the expansion's
+        gather rows — with rid/rpos recovered in-register from the
+        cumulative lengths; requires total length < 2^31 and a small
+        sequence count (the recovery is an n_seq-step fused compare
+        chain)."""
         kv_np, prefix_np, shift, S = plan_prefix_layout(keys, key_bits)
         dm_np, dm_start_np, dm_p, dm_S, dm_entry, pos_perm = plan_direct_layout(
             keys, starts, counts, key_bits
@@ -134,13 +152,27 @@ class DeviceIndex:
             # key-sorted layout for serialization and the host pipeline
             positions = positions[pos_perm]
         P = positions.shape[0]
-        # np.empty: both planes are fully overwritten below when P >= 1;
-        # only the P == 0 sentinel column needs explicit zeroing
-        pos_np = np.empty((2, max(P, 1)), dtype=np.uint32)
-        if P == 0:
-            pos_np[:] = 0
-        pos_np[0, :P] = (positions >> np.uint64(32)).astype(np.uint32)
-        pos_np[1, :P] = (positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        cum = None
+        if seq_lens is not None:
+            cum = np.zeros(len(seq_lens) + 1, dtype=np.int64)
+            np.cumsum(np.asarray(seq_lens, dtype=np.int64), out=cum[1:])
+        pos_packed = (
+            cum is not None and cum[-1] < (1 << 31) and len(cum) - 1 <= 64
+        )
+        if pos_packed:
+            rid = (positions >> np.uint64(32)).astype(np.int64)
+            rps = (positions & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            absw = ((cum[rid] + (rps >> 1)) << 1) | (rps & 1)
+            pos_np = np.zeros((1, max(P, 1)), dtype=np.uint32)
+            pos_np[0, :P] = absw.astype(np.uint32)
+        else:
+            # np.empty: both planes are fully overwritten below when
+            # P >= 1; only the P == 0 sentinel column needs zeroing
+            pos_np = np.empty((2, max(P, 1)), dtype=np.uint32)
+            if P == 0:
+                pos_np[:] = 0
+            pos_np[0, :P] = (positions >> np.uint64(32)).astype(np.uint32)
+            pos_np[1, :P] = (positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         kv_np[: keys.shape[0], 2] = starts.astype(np.uint32)
         kv_np[: keys.shape[0], 3] = counts.astype(np.uint32)
         if dm_S:
@@ -158,6 +190,8 @@ class DeviceIndex:
             dm=jnp.asarray(dm_np),
             dm_start=(jnp.asarray(dm_start_np)
                       if dm_start_np is not None else None),
+            seq_cum=(jnp.asarray(cum.astype(np.uint32))
+                     if pos_packed else None),
             prefix_shift=shift,
             bucket_slots=S,
             n_keys=int(keys.shape[0]),
@@ -165,6 +199,8 @@ class DeviceIndex:
             dm_slots=dm_S,
             dm_entry=dm_entry,
             dm_fp_bits=max(0, key_bits - dm_p),
+            pos_packed=pos_packed,
+            n_seq=(len(cum) - 1 if pos_packed else 0),
         )
 
 

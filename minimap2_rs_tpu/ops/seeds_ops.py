@@ -160,12 +160,29 @@ def build_anchors_device(
 
     valid = a_idx < n_anchors[:, None]
     p_idx = jnp.where(valid, g0 + a_idx, 0)
-    # two plane gathers on the (2, P) position table: 1-D gathers keep
-    # the table in its stored layout (a (P, 2) row gather made XLA
-    # re-lay-out the whole table column-major on every call)
     p_idx = jnp.clip(p_idx, 0, idx.pos.shape[1] - 1)
-    r_hi = idx.pos[0][p_idx]  # rid
-    r_lo = idx.pos[1][p_idx]  # rpos<<1|rstrand
+    if idx.pos_packed:
+        # ONE plane gather of abs_pos<<1|strand; rid and the bucket base
+        # are recovered by an n_seq-step fused compare chain against the
+        # cumulative lengths — no second gather (gathers are row-count
+        # bound on v5e, and the pos gathers were the expansion's
+        # dominant term at the headline shape)
+        w = idx.pos[0][p_idx]
+        absp = w >> U32(1)
+        r_hi = jnp.zeros_like(w)   # rid
+        cbase = jnp.zeros_like(w)  # seq_cum[rid]
+        for j in range(1, idx.n_seq):
+            cj = idx.seq_cum[j]
+            in_j = absp >= cj
+            r_hi = r_hi + in_j.astype(U32)
+            cbase = jnp.where(in_j, cj, cbase)
+        r_lo = ((absp - cbase) << U32(1)) | (w & U32(1))
+    else:
+        # two plane gathers on the (2, P) position table: 1-D gathers
+        # keep the table in its stored layout (a (P, 2) row gather made
+        # XLA re-lay-out the whole table column-major on every call)
+        r_hi = idx.pos[0][p_idx]  # rid
+        r_lo = idx.pos[1][p_idx]  # rpos<<1|rstrand
 
     ps_m = jax.lax.bitcast_convert_type(g1 & I32(0x7FFFFF), U32)
     span = jax.lax.bitcast_convert_type(g1 >> 23, U32)
