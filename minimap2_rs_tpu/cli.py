@@ -85,7 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", choices=["auto", "device", "host"], default="auto")
     p.add_argument("--stats", action="store_true", help="print a per-stage timing breakdown to stderr")
     p.add_argument("--trace-dir", default=None, help="write a jax.profiler trace here")
-    p.add_argument("--batch-size", type=int, default=4096, help="max reads per device program invocation")
+    p.add_argument("--batch-size", type=int, default=1024, help="max reads per device program invocation (small batches pipeline: async dispatch overlaps sync/submit/post with device compute)")
     p.add_argument("--mesh", type=int, default=0, metavar="DP",
                    help="map over a DP-way device mesh (0 = single device; "
                         "requires --engine device and DP*SHARDS devices)")

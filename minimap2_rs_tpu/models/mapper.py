@@ -308,13 +308,16 @@ class Mapper:
     buckets: tuple[int, ...] = (
         1024, 2048, 4096, 8192, 12288, 16384, 24576, 32768, 49152, 65536
     )
-    # max reads per device call; every host<->device sync costs ~27 ms
-    # through the TPU relay, so calls are sized by total anchor slots
-    # (SLOT_TARGET) and capped here. The chain kernel at short-read
-    # shapes runs at ~2.4 ms per 4096 reads per band (prof_sync.py), so
-    # big calls amortize the relay latency: a 16k-read pass should be
-    # ~2 calls, not 5.
-    batch_size: int = 8192
+    # max reads per device call. Calls dispatch asynchronously and drain
+    # in order, so MANY SMALL calls pipeline: while the drain blocks on
+    # batch i, batches i+1.. compute, hiding the ~27 ms relay sync, the
+    # H2D submit, and the host postprocess behind device time. Measured
+    # on the 16k-read headline (prof_pipeline.py): 16 calls of 1024 run
+    # the pass at d2h+wait ~0 (fully overlapped), ~1.4x faster than 2
+    # calls of 8192 — the r4 "big calls amortize the sync" sizing was
+    # right only for a SERIAL drain. Long-read buckets are capped by
+    # slot_target per call regardless.
+    batch_size: int = 1024
     # minimizer density is 2/(w+1) ~ 0.18/base and anchors ~0.8x that on
     # non-repetitive genomes (the occ filters drop some); reads that
     # overflow the padded slots are flagged exactly and re-run on device

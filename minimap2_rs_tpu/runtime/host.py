@@ -248,7 +248,7 @@ _KEYS_POOL: list[np.ndarray] = []  # grow-only scratch (never escapes)
 def native_build_index(
     seq: bytes | np.ndarray, seq_off: np.ndarray, w: int, k: int,
     is_hpc: bool = False, is_ascii: bool = True,
-    n_threads: int | None = None, chunk: int = 1 << 22,
+    n_threads: int | None = None, chunk: int | None = None,
 ):
     """One-call index build from RAW sequence bytes: threaded exact scan
     with direct per-key-range partitioning + in-cache range sorts +
@@ -273,6 +273,13 @@ def native_build_index(
     seq_off = np.ascontiguousarray(seq_off, dtype=np.int64)
     n_seq = seq_off.shape[0] - 1
     total_len = int(seq_off[-1])
+    if chunk is None:
+        # balance the scan: a fixed 4 Mb chunk leaves a 5 Mbp genome as
+        # 2 lopsided pieces for 2 threads (one thread scans 4/5 of the
+        # genome — ~35 ms of the small-build gap vs the C anchor);
+        # ~8 pieces per thread keeps the work-stealing queue fed while
+        # the 512 kb floor bounds per-piece halo/dispatch overhead
+        chunk = min(1 << 22, max(total_len // (8 * n_threads), 1 << 19))
     S = _madv_huge(np.empty((total_len + 7) // 8, dtype=np.uint32))
     # minimizer density is ~2/(w+1); size outputs tightly (the re-call
     # path below covers the rare overflow) — page-fault volume on these
