@@ -469,9 +469,21 @@ def main() -> int:
         # two generations of build buffers
         build_index_native(brecs, IndexParams())
         build_index_native(brecs, IndexParams())
-        t_big, idx_big, big_times = _median5(
-            lambda: build_index_native(brecs, IndexParams())
-        )
+        # manual 5-pass loop with the native engine's per-stage seconds
+        # captured per pass (runtime/host.last_build_stage_s), so an
+        # outlier pass is attributable to a stage (scan/pack/sort/
+        # flatten) from this artifact alone — the r4 5.05 s outlier
+        # shipped as one opaque number
+        from minimap2_rs_tpu.runtime.host import last_build_stage_s
+
+        big_times, big_stages = [], []
+        idx_big = None
+        for _ in range(5):
+            t0 = time.time()
+            idx_big = build_index_native(brecs, IndexParams())
+            big_times.append(time.time() - t0)
+            big_stages.append(last_build_stage_s())
+        t_big = sorted(big_times)[2]
         extra["large_index_build_bp_per_s"] = round(gl / t_big, 1)
         extra["large_index_build_vs_c_minimap2"] = round(
             gl / t_big / c_mm2_bps, 4
@@ -482,6 +494,8 @@ def main() -> int:
         extra["large_index_build_spread"] = round(
             max(big_times) / min(big_times), 3
         )
+        if big_stages[0] is not None:
+            extra["large_index_build_pass_stages_s"] = big_stages
         log(f"large index build: {t_big:.1f}s ({gl/t_big/1e6:.1f} Mbp/s), "
             f"{idx_big.keys.shape[0]} keys")
         breads = simulate_reads(big, args.large_reads,

@@ -173,8 +173,31 @@ def _load():
             u64p, u64p, ctypes.c_int64, u32p,              # out_keys, out_rps, cap, out_S
             u64p, i64p, i64p, ctypes.POINTER(ctypes.c_int64),  # flat table outs
         ]
+    if hasattr(lib, "mm2t_get_build_stage_s"):
+        lib.mm2t_get_build_stage_s.restype = None
+        lib.mm2t_get_build_stage_s.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+        ]
     _LIB = lib
     return _LIB
+
+
+def last_build_stage_s() -> dict | None:
+    """Per-stage seconds of the most recent native index build on this
+    process ({scan, pack, sort, flatten}) — the instrumentation that
+    makes a slow build pass attributable from bench artifacts alone
+    (the r4 large-build outlier shipped as one opaque number)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mm2t_get_build_stage_s"):
+        return None
+    out = np.zeros(4, dtype=np.float64)
+    lib.mm2t_get_build_stage_s(out)
+    return {
+        "scan": round(float(out[0]), 3),
+        "pack": round(float(out[1]), 3),
+        "sort": round(float(out[2]), 3),
+        "flatten": round(float(out[3]), 3),
+    }
 
 
 def native_build_pairs(

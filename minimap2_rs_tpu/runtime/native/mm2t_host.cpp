@@ -1003,6 +1003,15 @@ int64_t mm2t_mmi_selfcheck(const uint8_t* data, int64_t len) {
 // out_ukeys/out_starts/out_counts (all-or-none, may be null; capacity
 // `cap`) receive the flattened unique-key table (oracle/index.py
 // _flatten) with *out_nkeys entries — saving the NumPy pass.
+// per-stage seconds of the most recent mm2t_build_index call on this
+// process: [scan, pack, sort, flatten]. Single-writer (builds are
+// serial per process); read via mm2t_get_build_stage_s.
+static double g_build_stage_s[4] = {0, 0, 0, 0};
+
+void mm2t_get_build_stage_s(double* out4) {
+  for (int i = 0; i < 4; ++i) out4[i] = g_build_stage_s[i];
+}
+
 int64_t mm2t_build_index(
     const uint8_t* seq, const int64_t* seq_off, int64_t n_seq,
     int32_t w, int32_t k, int32_t is_hpc, int32_t is_ascii,
@@ -1017,11 +1026,19 @@ int64_t mm2t_build_index(
     clock_gettime(CLOCK_MONOTONIC, &ts);
     return ts.tv_sec + 1e-9 * ts.tv_nsec;
   };
-  double t0 = timing ? now() : 0.0;
-  auto mark = [&](const char* what) {
-    if (!timing) return;
+  // stage seconds of the most recent build, readable via
+  // mm2t_get_build_stage_s: always recorded (4 clock reads), so a bench
+  // outlier pass is attributable to a stage from the artifact alone
+  for (int i = 0; i < 4; ++i) g_build_stage_s[i] = 0.0;
+  double t0 = now();
+  // fixed slots (scan/pack/sort/flatten) — "pack" is skipped when the
+  // caller passes no S buffer, so slots are positional by name, not by
+  // call order
+  auto mark = [&](int slot, const char* what) {
     const double t1 = now();
-    fprintf(stderr, "[mm2t_build_index] %-8s %.3fs\n", what, t1 - t0);
+    if (slot >= 0 && slot < 4) g_build_stage_s[slot] = t1 - t0;
+    if (timing)
+      fprintf(stderr, "[mm2t_build_index] %-8s %.3fs\n", what, t1 - t0);
     t0 = t1;
   };
   if (n_threads < 1) n_threads = 1;
@@ -1099,7 +1116,7 @@ int64_t mm2t_build_index(
   for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker, t);
   worker(0);
   for (auto& th : threads) th.join();
-  mark("scan");
+  mark(0, "scan");
   // 4-bit pack AFTER the scan so the scan gets every core; the pack
   // itself splits across threads on word-aligned ranges
   if (out_S != nullptr) {
@@ -1120,7 +1137,7 @@ int64_t mm2t_build_index(
                       words * (t + 1) / n_threads);
     pack_range(0, words / std::max(n_threads, 1));
     for (auto& th : pt) th.join();
-    mark("pack");
+    mark(1, "pack");
   }
 
   // ---- phase 2: per-range in-cache sort + sequential write --------
@@ -1171,7 +1188,7 @@ int64_t mm2t_build_index(
     sort_worker();
     for (auto& th : st) th.join();
   }
-  mark("sort");
+  mark(2, "sort");
 
   // ---- phase 3: flatten unique-key runs ----------------------------
   // (key, rps) pairs are already fully sorted; this is a linear
@@ -1192,7 +1209,7 @@ int64_t mm2t_build_index(
     }
     *out_nkeys = nk;
   }
-  mark("flatten");
+  mark(3, "flatten");
   return total;
 }
 
