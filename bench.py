@@ -621,11 +621,14 @@ def main() -> int:
     # pipeline run as chained data-dependent calls inside one jit
     # (the prof_sync.py methodology); stage cost = successive
     # difference after subtracting the relay sync floor. The floor
-    # model reflects the PIPELINED drain (async dispatch: submit, host
-    # post, and per-call syncs all hide behind later batches' device
-    # compute — prof_pipeline.py measured d2h+wait ~ 0 at 1024-read
-    # calls), so only device time + one pipeline-fill sync remain:
+    # model reflects the PIPELINED drain (threaded submit + async
+    # dispatch: submit, host post, and per-call syncs all hide behind
+    # later batches' device compute — prof_pipeline.py measured
+    # d2h+wait ~ 0 at 1024-read calls), so what remains is device time,
+    # the tail sync, and the post-pass requeue phases (tier2 overflow /
+    # lazy-wide / rescue re-runs, measured on the pass itself):
     #   sol = n_calls * full_device_call + sync_floor
+    #         + tier2 + wide + rescue
     # submit/post are reported alongside; if host work ever exceeded
     # device time it would bound the pass instead and show up as
     # headline_vs_floor > 1.
@@ -648,7 +651,14 @@ def main() -> int:
             "host_post_s": round(st.get("post", 0.0), 4),
             "host_submit_s": round(st.get("submit", 0.0), 4),
         }
-        sol = n_calls * stage_ms["full_call"] / 1e3 + roof["sync_floor_s"]
+        roof["requeue_s"] = round(
+            st.get("tier2", 0.0) + st.get("wide", 0.0)
+            + st.get("rescue", 0.0), 4
+        )
+        sol = (
+            n_calls * stage_ms["full_call"] / 1e3
+            + roof["sync_floor_s"] + roof["requeue_s"]
+        )
         roof["pass_floor_model_s"] = round(sol, 4)
         roof["headline_vs_floor"] = round(dt / max(sol, 1e-9), 3)
         extra["roofline"] = roof
