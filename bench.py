@@ -312,15 +312,18 @@ def main() -> int:
             s.append(time.time() - t0)
         return sorted(s)[1]
 
+    # 7 passes (~0.3 s each): the shared relay's noise comes in multi-
+    # second bursts that can swallow 2 of 5 passes; a 7-pass median is
+    # robust to one burst while costing under a second extra
     times = []
     floors = [round(_floor_sample() * 1e3, 1)]
     blob = None
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.time()
         blob = _one_pass()
         times.append(time.time() - t0)
         floors.append(round(_floor_sample() * 1e3, 1))
-    dt = sorted(times)[2]
+    dt = sorted(times)[3]
     extra["pass_floor_samples_ms"] = floors
     lines = blob.decode().split("\n")[:-1] if blob else []
     log(f"mapped {len(rl)} reads ({total_bp} bp) in {dt:.2f}s "
