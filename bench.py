@@ -187,8 +187,20 @@ def _measure_stage_floor(mapper, rl, batch_size: int) -> dict:
     def floor_fn(x):
         return jnp.sum(x)
 
+    # MIN of 5 for both the floor and every chained program: relay
+    # noise only ever ADDS time, so min is the consistent low-bias
+    # estimator — medians under a noise burst produced stage deltas
+    # clamping to 0 while inflating others
+    def _min5(fn):
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return min(ts)
+
     int(floor_fn(d_len))
-    t_floor, _, _ = _median5(lambda: int(floor_fn(d_len)))
+    t_floor = _min5(lambda: int(floor_fn(d_len)))
 
     out_ms = {}
     cum = []
@@ -200,10 +212,10 @@ def _measure_stage_floor(mapper, rl, batch_size: int) -> dict:
     ]:
         fn = chained(body)
         int(fn(d_p2, d_len, d_nex))  # compile
-        t, _, _ = _median5(lambda: int(fn(d_p2, d_len, d_nex)))
-        t = max((t - t_floor) / K, 0.0)
+        t = max((_min5(lambda: int(fn(d_p2, d_len, d_nex))) - t_floor) / K,
+                0.0)
         prev = cum[-1] if cum else 0.0
-        cum.append(t)
+        cum.append(max(t, prev))
         out_ms[name] = round(max(t - prev, 0.0) * 1e3, 2)
     out_ms["full_call"] = round(cum[-1] * 1e3, 2)
     return out_ms
