@@ -636,9 +636,13 @@ class Mapper:
         th = _threading.Thread(target=_producer, daemon=True)
         th.start()
 
-        # phase 2: pull + postprocess in submission order
-        self._drain_pending(reads, iter(q.get, None), results, lite)
-        th.join()
+        # phase 2: pull + postprocess in submission order. Join the
+        # producer even when the drain raises (a drain error must not
+        # leave the submitter racing this mapper's state).
+        try:
+            self._drain_pending(reads, iter(q.get, None), results, lite)
+        finally:
+            th.join()
         if err:
             raise err[0]
 
