@@ -128,3 +128,22 @@ def test_native_build_pairs_chunked_halo_exact():
     np.testing.assert_array_equal(fk, ref.keys)
     np.testing.assert_array_equal(ct, ref.counts)
     np.testing.assert_array_equal(pos, ref.positions)
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_build_stage_times_recorded():
+    """mm2t_build_index records per-stage seconds readable afterward
+    (the large-bench outlier-attribution instrumentation)."""
+    from minimap2_rs_tpu.config import IndexParams
+    from minimap2_rs_tpu.models.index_builder import build_index_native
+    from minimap2_rs_tpu.runtime.host import last_build_stage_s
+    from minimap2_rs_tpu.utils.seqsim import random_genome
+
+    g = random_genome(300_000, seed=11)
+    build_index_native([("c", g)], IndexParams())
+    st = last_build_stage_s()
+    assert st is not None
+    assert set(st) == {"scan", "pack", "sort", "flatten"}
+    # scan + sort always run and take measurable time at 300 kb
+    assert st["scan"] >= 0.0 and st["sort"] >= 0.0
+    assert sum(st.values()) > 0.0
