@@ -205,3 +205,38 @@ def test_dv_border_truncation_exact():
     host = map_reads(idx, rl, cp, mp)
     dev = mapper.map_reads(rl)
     assert dev == host
+
+
+def test_submit_thread_error_propagates():
+    """An exception on the background submit thread must surface to the
+    map_reads_paf caller (not hang the drain or vanish)."""
+    g = random_genome(100_000, seed=31)
+    idx = build_index([("c", g)], IndexParams())
+    cp = ChainParams.defaults_for_k(15)
+    reads = simulate_reads(g, 16, read_len=(500, 800), seed=32)
+    rl = [(n, s) for n, s, *_ in reads]
+    mapper = Mapper.from_oracle_index(idx, cp, MapParams(), batch_size=8)
+
+    boom = RuntimeError("injected submit failure")
+
+    def _raise(*a, **kw):
+        raise boom
+
+    mapper._submit_groups = _raise
+    with pytest.raises(RuntimeError, match="injected submit failure"):
+        mapper.map_reads_paf(rl)
+
+
+def test_threaded_submit_matches_serial_batches():
+    """Output is identical across batch sizes (threaded pipelined drain
+    vs effectively-serial single-batch submission)."""
+    g = random_genome(200_000, seed=33)
+    idx = build_index([("c", g)], IndexParams())
+    cp = ChainParams.defaults_for_k(15)
+    reads = simulate_reads(g, 48, read_len=(500, 1000), seed=34)
+    rl = [(n, s) for n, s, *_ in reads]
+    outs = []
+    for bs in (48, 8):
+        m = Mapper.from_oracle_index(idx, cp, MapParams(), batch_size=bs)
+        outs.append(m.map_reads_paf(rl))
+    assert outs[0] == outs[1]
